@@ -1,38 +1,330 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship: full extraction pipeline over a deterministic
+               synthetic pages corpus (sf0.001 scale).
+``queries``  — one entry per implemented operator family (SURVEY.md §2 +
+               training-data ops); each takes (spark, sf_dir).
+``oracle_sql`` — DuckDB twins for everything SQL-expressible. Extraction
+               queries (HTML parsing) are inherently non-SQL → rows-only.
+
+Column-name discipline: every computed column is aliased identically in the
+Spark query and the SQL so the driver's sorted-column value-hash matches.
+Float-valued aggregates are computed via DECIMAL casts or rounded so both
+engines produce identical values.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from html_parser_spark.functions import textops, vecops
+from html_parser_spark.job import pipeline as P
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _n_pages(sf_dir: str) -> int:
+    """Pages-corpus size scaled to the sf dir (FIXTURES.md §1)."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = 0.01
+    return max(200, min(int(200000 * sf), 20000))
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize pages at sf0.001 scale and run the extraction
+    pipeline end-to-end (tokenize → carriers → rules → envelopes)."""
+    pages = P.synthesize_pages(spark, 200)
+    out = P.extract_pages(pages)
+    return out.select("url", "profile", "status", "name", "brand",
+                      "price", "rating", "n_nodes")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = P.synthesize_pages(spark, _n_pages(sf_dir))
+    return (P.extract_pages(pages)
+            .select("url", "profile", "status", "name", "brand", "price")
+            .orderBy("url"))
+
+
+def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = P.synthesize_pages(spark, _n_pages(sf_dir))
+    ext = P.extract_pages(pages)
+    return (P.metrics_from_extracted(ext)
+            .select("profile", "status", "n_docs", "nodes"))
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+             .cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)  # small dim → broadcast
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def _q_semi_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.where(F.col("l_shipdate") > F.lit("1995-06-30")).select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")  # R4
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def _q_weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    d6 = lambda c: F.col(c).cast("decimal(18,6)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.sum(d6("l_discount") * d6("l_quantity")) / F.sum(d6("l_quantity")))
+            .cast("decimal(18,6)").cast("double").alias("weighted_avg_discount"),  # R6/T18
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def _q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))  # R1
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),  # J6
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", textops.doc_fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count("*").alias("n_copies"))
+    )
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.langid("text").alias("lang_detected"))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.quality_score("text").alias("quality"))
+
+
+def _q_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(textops.char_shingles("text")).alias("n_shingles"),
+    )
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    return (vecops.brute_force_topk(q, emb, k=5)
+            .select("query_id", "neighbor_id", "rank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # extraction engine (non-SQL; rows-only check)
+        "extract_pages": _q_extract_pages,
+        "extract_metrics": _q_extract_metrics,
+        # relational skeleton (SURVEY.md §2.6)
+        "pricing_summary": _q_pricing_summary,
+        "top_revenue_nations": _q_top_revenue_nations,
+        "semi_join_priority": _q_semi_join_priority,
+        "weighted_avg_discount": _q_weighted_avg_discount,
+        "explode_tokens": _q_explode_tokens,
+        "json_props": _q_json_props,
+        # training-data pipeline ops
+        "exact_dedup": _q_exact_dedup,
+        "token_stats": _q_token_stats,
+        "langid": _q_langid,
+        "quality_score": _q_quality,
+        "shingle_count": _q_shingles,
+        "cosine_topk": _q_cosine_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_EN = "|".join(textops.EN_STOPWORDS)
+_ES = "|".join(textops.ES_STOPWORDS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                       AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_nations": """
+            SELECT n_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "semi_join_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > TIMESTAMP '1995-06-30 00:00:00')
+            GROUP BY o_orderpriority
+        """,
+        "weighted_avg_discount": """
+            SELECT l_returnflag,
+                   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) /
+                             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+                       AS weighted_avg_discount,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "explode_tokens": """
+            SELECT token, COUNT(*) AS n_occurrences
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+            WHERE token != ''
+            GROUP BY token
+        """,
+        "json_props": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "exact_dedup": r"""
+            SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+                   MIN(doc_id) AS keeper_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\w+')) AS n_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents
+        """,
+        "langid": rf"""
+            SELECT doc_id,
+                   CASE WHEN len(regexp_extract_all(lower(text), '\b({_ES})\b'))
+                             > len(regexp_extract_all(lower(text), '\b({_EN})\b'))
+                        THEN 'es' ELSE 'en' END AS lang_detected
+            FROM documents
+        """,
+        "quality_score": rf"""
+            SELECT doc_id,
+                   ROUND(
+                     0.5 * LEAST(length(text) / 500.0, 1.0)
+                   + 0.4 * LEAST((len(regexp_extract_all(lower(text), '\b({_EN})\b'))
+                                  / GREATEST(len(regexp_extract_all(text, '\w+')), 1)) * 4, 1.0)
+                   + 0.1 * (1.0 - LEAST((len(regexp_extract_all(text, '[.,;:!?]'))
+                                  / GREATEST(length(text), 1)) * 10, 1.0)),
+                   4) AS quality
+            FROM documents
+        """,
+        "shingle_count": """
+            SELECT doc_id,
+                   len(list_distinct(list_transform(
+                       range(1, GREATEST(length(text) - 15, 1) + 1, 8),
+                       i -> substring(text, i, 16)))) AS n_shingles
+            FROM documents
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5),
+                 s AS (SELECT q.qid, e.vec_id AS nid,
+                              list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                                     CAST(e.embedding AS DOUBLE[])) AS sim
+                       FROM embeddings e CROSS JOIN q
+                       WHERE e.vec_id != q.qid)
+            SELECT qid AS query_id, nid AS neighbor_id, rank
+            FROM (SELECT qid, nid,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                                            ORDER BY ROUND(sim, 6) DESC, nid) AS rank
+                  FROM s)
+            WHERE rank <= 5
+        """,
+    }

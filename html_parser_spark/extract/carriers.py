@@ -1,0 +1,176 @@
+"""Carrier dispatch: locate + deserialize the embedded JSON state of a page.
+
+"Most fields come from JSON blobs inside <script> tags, not from visible
+DOM" (SURVEY.md §1.1). Each carrier below reproduces one extraction shape
+from the reference (SURVEY.md §2.4 J1-J7):
+
+  next_data          <script id="__NEXT_DATA__">          walmart/parse_walmart.py:36-37,
+                                                          walmart/parse_walmart-2.py:75-76,
+                                                          bedbathbeyond/parse_bedbathbeyond.py:42-43
+  redux_state        <script id="tb-djs-wml-redux-state"> 1.samsclub/parse_samsclub.py:214-217
+  ld_json            <script type="application/ld+json">  walmart/parse_walmart-2.py:19-20
+  discover_json      <script type="application/discover+json">
+                                                          prev/parse_tesco_html.py:29-30
+  webpack_entry      window["WEBPACK_ENTRY_DATA"] = {..}; prev/parse_wayfair.py:44-48
+  inline_regex       regex-carved JS objects/scalars      costco/parse_costco.py:47-64,288-300;
+                                                          overstock/parse_overstock.py:79-110
+  escaped_component  double-escaped initializeComponent   bestbuy/parse_bestbuy_detai.py:22-28,93-106
+
+All functions operate on the already-collected list of (script_text, attrs)
+pairs for one document — the per-batch flow extracts script nodes once from
+the FlatDOM and then runs only string ops (regex carving is C-speed).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Optional
+
+from ..htmlkit.tokenizer import FlatDOM, TEXT
+
+__all__ = [
+    "collect_scripts", "script_by_id", "script_by_type", "script_containing",
+    "json_script_by_id", "json_scripts_by_type", "webpack_entry_data",
+    "regex_json", "regex_scalar", "unescape_embedded_json", "detect_carrier",
+]
+
+
+def collect_scripts(dom: FlatDOM) -> list[tuple[str, dict]]:
+    """All <script> (text, attrs) in document order — gathered once per doc."""
+    out: list[tuple[str, dict]] = []
+    tags = dom.tags
+    for i in range(1, len(dom)):
+        if tags[i] == "script":
+            kids = dom.children(i)
+            text = "".join(
+                dom.texts[k] or "" for k in kids if tags[k] == TEXT
+            )
+            out.append((text, dom.attrs[i] or {}))
+    return out
+
+
+def script_by_id(scripts: list, script_id: str) -> Optional[str]:
+    """First script with id=...; None-safe like ``select_one`` (J1)."""
+    for text, attrs in scripts:
+        if attrs.get("id") == script_id:
+            return text
+    return None
+
+
+def script_by_type(scripts: list, script_type: str) -> list[str]:
+    return [t for t, a in scripts if a.get("type") == script_type]
+
+
+def script_containing(scripts: list, marker: str) -> Optional[str]:
+    """First script whose text contains marker — the reference's loop+break
+    scan (Q3, costco/parse_costco.py:47-64: ``if "priceMax" in script``)."""
+    for text, _attrs in scripts:
+        if marker in text:
+            return text
+    return None
+
+
+def _loads(blob: Optional[str]) -> Any:
+    if blob is None:
+        return None
+    try:
+        return json.loads(blob)
+    except (ValueError, TypeError):
+        return None
+
+
+def json_script_by_id(scripts: list, script_id: str) -> Any:
+    return _loads(script_by_id(scripts, script_id))
+
+
+def json_scripts_by_type(scripts: list, script_type: str) -> list:
+    out = []
+    for t in script_by_type(scripts, script_type):
+        v = _loads(t)
+        if v is not None:
+            out.append(v)
+    return out
+
+
+_WEBPACK_RE = re.compile(
+    r"""window\[["']WEBPACK_ENTRY_DATA["']\]\s*=\s*""", re.DOTALL
+)
+
+
+def webpack_entry_data(scripts: list) -> Any:
+    """``window["WEBPACK_ENTRY_DATA"] = {...};`` assignment slice (J5).
+
+    The reference picks the script positionally (``select("script")[-4]``,
+    prev/parse_wayfair.py:44-48) then splits on the marker; we re-key on the
+    marker itself (positional index is fragile — SURVEY.md §2.4 J5).
+    """
+    for text, _attrs in scripts:
+        m = _WEBPACK_RE.search(text)
+        if m:
+            tail = text[m.end():].strip()
+            tail = tail.rstrip("=; \t\r\n")
+            return _loads(tail)
+    return None
+
+
+def regex_json(text: Optional[str], pattern: str,
+               normalize_quotes: bool = False) -> Any:
+    """Regex-carve a JSON object/array out of inline JS (J2).
+
+    ``normalize_quotes`` reproduces costco's ``'`` → ``"`` fix-up before
+    ``json.loads`` (costco/parse_costco.py:298).
+    """
+    if text is None:
+        return None
+    m = re.search(pattern, text, re.DOTALL)
+    if not m:
+        return None
+    blob = m.group(1)
+    if normalize_quotes:
+        blob = blob.replace("'", '"')
+    return _loads(blob)
+
+
+def regex_scalar(text: Optional[str], pattern: str) -> Optional[str]:
+    """Scalar regex pick from inline JS (J3), e.g. ``priceMax\\s*:\\s*'(.*?)',``."""
+    if text is None:
+        return None
+    m = re.search(pattern, text, re.DOTALL)
+    return m.group(1) if m else None
+
+
+def unescape_embedded_json(escaped: str) -> Any:
+    """Double-escaped JSON decode (J4, bestbuy/parse_bestbuy_detai.py:24-28):
+    first ``json.loads`` of the string literal, then of the payload."""
+    try:
+        inner = json.loads(f'"{escaped}"')
+    except ValueError:
+        inner = escaped.replace('\\"', '"').replace("\\\\", "\\")
+    return _loads(inner)
+
+
+# Ordered carrier detection — first hit wins (mirrors each parser's own
+# dispatch being hardcoded per site; here generalized for unknown pages).
+_CARRIER_PROBES: list[tuple[str, str, str]] = [
+    # (carrier name, probe kind, probe arg)
+    ("redux_state", "id", "tb-djs-wml-redux-state"),
+    ("next_data", "id", "__NEXT_DATA__"),
+    ("discover_json", "type", "application/discover+json"),
+    ("webpack_entry", "contains", "WEBPACK_ENTRY_DATA"),
+    ("escaped_component", "contains", "initializer.initializeComponent"),
+    ("pixels", "id", "web-pixels-manager-setup"),
+    ("inline_js", "contains", "priceMax"),
+    ("ld_json", "type", "application/ld+json"),
+]
+
+
+def detect_carrier(scripts: list) -> Optional[str]:
+    for name, kind, arg in _CARRIER_PROBES:
+        if kind == "id" and script_by_id(scripts, arg) is not None:
+            return name
+        if kind == "type" and script_by_type(scripts, arg):
+            return name
+        if kind == "contains" and script_containing(scripts, arg) is not None:
+            return name
+    return None

@@ -1,0 +1,183 @@
+"""Shared scalar / fragment transforms (SURVEY.md §2.5, §2.7).
+
+Each helper names the reference operator it re-expresses. These run inside
+the Arrow-batched UDF; the same semantics exist as native Spark columns in
+``html_parser_spark.functions.native`` for values that already live in
+DataFrame columns.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+from typing import Any, Optional
+
+from ..htmlkit.tokenizer import FlatDOM, TEXT
+from ..htmlkit import selectors as S
+
+__all__ = [
+    "parse_money", "parse_int", "strip_query", "prefix_url", "collapse_ws",
+    "hires_image", "parse_spec_table", "parse_kv_table", "parse_ul",
+    "sectionize_lines", "weighted_rating", "dedup_preserve_order",
+]
+
+# Comma-grouped form needs ≥1 ",ddd" group, else fall back to a plain number
+# (otherwise "1088.59" would match as "108").
+_MONEY_RE = re.compile(r"[-+]?\d{1,3}(?:,\d{3})+(?:\.\d+)?|[-+]?\d+(?:\.\d+)?")
+
+
+def parse_money(s: Optional[str]) -> Optional[float]:
+    """T5: ``float(s.replace('$','').replace(',',''))`` generalized
+    (bestbuy/parse_bestbuy_detai.py:51; prev/parse_wayfair.py:101-106)."""
+    if s is None:
+        return None
+    m = _MONEY_RE.search(s)
+    if not m:
+        return None
+    try:
+        return float(m.group(0).replace(",", ""))
+    except ValueError:
+        return None
+
+
+def parse_int(s: Optional[str]) -> Optional[int]:
+    """T6: strip ``( ) ,`` → int (bestbuy/parse_bestbuy_detai.py:67)."""
+    if s is None:
+        return None
+    m = re.search(r"\d[\d,]*", s)
+    if not m:
+        return None
+    try:
+        return int(m.group(0).replace(",", ""))
+    except ValueError:
+        return None
+
+
+def strip_query(u: Optional[str]) -> Optional[str]:
+    """T9: ``split('?')[0]`` (costco/parse_costco.py:122,
+    walmart/parse_walmart.py:73-74); also trims ``#fragment``."""
+    if u is None:
+        return None
+    return u.split("?", 1)[0].split("#", 1)[0]
+
+
+def prefix_url(base: str, path: Optional[str]) -> Optional[str]:
+    """T10: ``f'https://site{path}'`` / ``'https:'+src``
+    (walmart/parse_walmart.py:90; overstock/parse_overstock.py:177)."""
+    if path is None:
+        return None
+    if path.startswith(("http://", "https://")):
+        return path
+    if path.startswith("//"):
+        return "https:" + path
+    return base.rstrip("/") + "/" + path.lstrip("/")
+
+
+_WS2 = re.compile(r"\s{2,}")
+
+
+def collapse_ws(s: Optional[str]) -> Optional[str]:
+    """T12 (prev/parse_wayfair.py:69)."""
+    return _WS2.sub(" ", s).strip() if s is not None else None
+
+
+_TIMG_RE = re.compile(r"timg-h\d+(?:-w\d+)?")
+_COMPR_RE = re.compile(r"compr-r\d+")
+
+
+def hires_image(u: Optional[str]) -> Optional[str]:
+    """T11 hi-res rewrite (prev/parse_wayfair.py:87-90,203-204)."""
+    if u is None:
+        return None
+    u = _TIMG_RE.sub("resize-h800-w800", u)
+    return _COMPR_RE.sub("compr-r85", u)
+
+
+def decode_b64(s: Optional[str]) -> Optional[str]:
+    """T8 obfuscated price decode (costco/parse_costco.py:313-319)."""
+    if s is None:
+        return None
+    try:
+        return base64.b64decode(s, validate=True).decode("utf-8")
+    except Exception:
+        return None
+
+
+# -- fragment parsers (HTML values inside JSON fields, P3/X3-X6) -----------
+
+def parse_spec_table(dom: FlatDOM, root: Optional[int] = None) -> list[dict]:
+    """X4: ``<tr><td>key</td><td>value</td></tr>`` rows → [{name,value}]
+    (1.samsclub/parse_samsclub.py:128-145, :352-384 normalizer)."""
+    out: list[dict] = []
+    rows = S.select(dom, "tr") if root is None else [
+        i for i in dom.iter_descendants(root) if dom.tags[i] == "tr"
+    ]
+    for tr in rows:
+        cells = [c for c in dom.children(tr) if dom.tags[c] in ("td", "th")]
+        if len(cells) >= 2:
+            key = collapse_ws(dom.node_text(cells[0])) or ""
+            val = collapse_ws(dom.node_text(cells[1])) or ""
+            if key:
+                out.append({"name": key.rstrip(":"), "value": val})
+    return out
+
+
+def parse_kv_table(dom: FlatDOM) -> dict:
+    return {d["name"]: d["value"] for d in parse_spec_table(dom)}
+
+
+def parse_ul(dom: FlatDOM, root: Optional[int] = None) -> list[str]:
+    """X5: each <li> → stripped text (1.samsclub/parse_samsclub.py:62-78)."""
+    lis = S.select(dom, "li") if root is None else [
+        i for i in dom.iter_descendants(root) if dom.tags[i] == "li"
+    ]
+    out = []
+    for li in lis:
+        t = collapse_ws(dom.node_text(li))
+        if t:
+            out.append(t)
+    return out
+
+
+def sectionize_lines(lines: list[str],
+                     headers: dict[str, str]) -> dict[str, list[str]]:
+    """X1 line state machine (overstock/parse_overstock.py:205-229).
+
+    ``headers`` maps header-line prefix (lowercased, e.g. ``features:``) to
+    bucket name; lines before any header go to ``description``.
+    """
+    buckets: dict[str, list[str]] = {"description": []}
+    for b in headers.values():
+        buckets.setdefault(b, [])
+    status = "description"
+    for ln in lines:
+        key = ln.strip().lower()
+        matched = None
+        for prefix, bucket in headers.items():
+            if key == prefix or key.startswith(prefix):
+                matched = bucket
+                rest = ln.strip()[len(prefix):].strip()
+                status = bucket
+                if rest:
+                    buckets[bucket].append(rest)
+                break
+        if matched is None:
+            if ln.strip():
+                buckets[status].append(ln.strip())
+    return buckets
+
+
+def weighted_rating(hist: Optional[dict]) -> float:
+    """T18/R6: Σ(star×count)/Σcount, 0 if empty
+    (bedbathbeyond/parse_bedbathbeyond.py:102-109)."""
+    if not hist:
+        return 0
+    tot = sum(int(v) for v in hist.values())
+    if not tot:
+        return 0
+    return sum(int(k) * int(v) for k, v in hist.items()) / tot
+
+
+def dedup_preserve_order(items: list) -> list:
+    """R8: ``list(dict.fromkeys(x))`` (bestbuy/parse_bestbuy_detai.py:46)."""
+    return list(dict.fromkeys(items))

@@ -1,0 +1,227 @@
+"""CSS-selector subset compiled to node-mask kernels over a FlatDOM.
+
+Covers exactly the selector grammar the reference uses (SURVEY.md §2.3 Q1-Q2):
+tag, ``#id``, ``.class``, ``[attr]``, ``[attr=value]``, compound simple
+selectors, descendant (space) and child (``>``) combinators, and comma
+unions. ``select_one`` = first match in document order, matching
+``soup.select_one`` semantics at /root/reference/1.samsclub/parse_samsclub.py:214,
+costco/parse_costco.py:70, prev/parse_wayfair.py:153
+(``button[data-hb-id=ReviewStars]>p``).
+
+The tiny XPath subset used by bestbuy (/root/reference/bestbuy/
+parse_bestbuy_detai.py:33-86 — ``//div[@class="sku-title"]/h1/text()``)
+compiles to the same structure via :func:`xpath_to_css`.
+
+Compilation strategy: parse once into ``CompiledSelector`` (module/broadcast
+scope — the reference recompiles regexes per page, costco/parse_costco.py:49-62;
+we don't). Matching evaluates the *rightmost* simple selector as a vectorized
+candidate mask over the flat arrays, then verifies ancestor chains with the
+``parent`` array — candidates are usually rare, ancestry walks are O(depth).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import Optional
+
+import numpy as np
+
+from .tokenizer import FlatDOM, TEXT
+
+__all__ = ["compile_selector", "select", "select_one", "xpath_to_css"]
+
+_SIMPLE_RE = re.compile(
+    r"""(?P<tag>[a-zA-Z][a-zA-Z0-9_-]*|\*)?
+        (?P<parts>(?:\#[-\w]+|\.[-\w]+|\[[^\]]+\])*)""",
+    re.VERBOSE,
+)
+_PART_RE = re.compile(r"\#([-\w]+)|\.([-\w]+)|\[([^\]]+)\]")
+
+
+class SimpleSelector:
+    __slots__ = ("tag", "id", "classes", "attrs")
+
+    def __init__(self, tag: Optional[str], id_: Optional[str],
+                 classes: tuple, attrs: tuple) -> None:
+        self.tag = tag
+        self.id = id_
+        self.classes = classes  # tuple[str]
+        self.attrs = attrs      # tuple[(name, value-or-None)]
+
+    def matches(self, dom: FlatDOM, i: int) -> bool:
+        if self.tag is not None and dom.tags[i] != self.tag:
+            return False
+        a = dom.attrs[i]
+        if self.id is not None:
+            if not a or a.get("id") != self.id:
+                return False
+        if self.classes:
+            cls = (a.get("class") if a else None) or ""
+            have = cls.split()
+            for c in self.classes:
+                if c not in have:
+                    return False
+        for name, val in self.attrs:
+            if not a or name not in a:
+                return False
+            if val is not None and a[name] != val:
+                return False
+        return True
+
+
+class CompiledSelector:
+    """One comma-branch: chain of (SimpleSelector, combinator-to-next)."""
+
+    __slots__ = ("chains",)
+
+    def __init__(self, chains: list) -> None:
+        # chains: list of list[(SimpleSelector, combinator)] where combinator
+        # is ' ' (descendant) or '>' (child); last entry's combinator unused.
+        self.chains = chains
+
+
+def _parse_simple(token: str) -> SimpleSelector:
+    m = _SIMPLE_RE.match(token)
+    if not m or m.end() != len(token):
+        raise ValueError(f"unsupported selector token: {token!r}")
+    tag = m.group("tag")
+    tag = None if tag in (None, "*") else tag.lower()
+    id_: Optional[str] = None
+    classes: list[str] = []
+    attrs: list[tuple] = []
+    for pm in _PART_RE.finditer(m.group("parts") or ""):
+        if pm.group(1):
+            id_ = pm.group(1)
+        elif pm.group(2):
+            classes.append(pm.group(2))
+        else:
+            body = pm.group(3)
+            if "=" in body:
+                name, _, val = body.partition("=")
+                val = val.strip()
+                if len(val) >= 2 and val[0] in "\"'" and val[-1] == val[0]:
+                    val = val[1:-1]
+                attrs.append((name.strip().lower(), val))
+            else:
+                attrs.append((body.strip().lower(), None))
+    return SimpleSelector(tag, id_, tuple(classes), tuple(attrs))
+
+
+@lru_cache(maxsize=1024)
+def compile_selector(selector: str) -> CompiledSelector:
+    chains = []
+    for branch in selector.split(","):
+        branch = branch.strip()
+        if not branch:
+            continue
+        # Normalize '>' spacing, then split into tokens + combinators.
+        branch = re.sub(r"\s*>\s*", " > ", branch)
+        raw = branch.split()
+        chain: list[tuple] = []
+        comb = " "
+        pending_comb = " "
+        for tok in raw:
+            if tok == ">":
+                pending_comb = ">"
+                continue
+            chain.append([_parse_simple(tok), " "])
+            if len(chain) >= 2:
+                chain[-2][1] = pending_comb
+            pending_comb = " "
+        chains.append([(s, c) for s, c in chain])
+    return CompiledSelector(chains)
+
+
+def _candidates(dom: FlatDOM, simple: SimpleSelector) -> range:
+    return range(1, len(dom))
+
+
+def _match_chain(dom: FlatDOM, i: int, chain: list) -> bool:
+    """Check node i against the full chain (rightmost already matched)."""
+    # Walk leftwards through ancestors.
+    parent = dom.parent
+    pos = len(chain) - 1
+    node = i
+    k = pos - 1
+    while k >= 0:
+        simple, comb = chain[k]
+        nxt_comb = comb  # combinator between chain[k] and chain[k+1]
+        if nxt_comb == ">":
+            node = parent[node]
+            if node <= 0 or not simple.matches(dom, node):
+                return False
+        else:
+            node = parent[node]
+            while node > 0 and not simple.matches(dom, node):
+                node = parent[node]
+            if node <= 0:
+                return False
+        k -= 1
+    return True
+
+
+def select(dom: FlatDOM, selector: str, limit: int = 0) -> list[int]:
+    """All matching element node ids in document order."""
+    comp = compile_selector(selector)
+    out: list[int] = []
+    tags = dom.tags
+    for chain in comp.chains:
+        last = chain[-1][0]
+        # Vectorized-ish pre-filter on tag name when present.
+        for i in range(1, len(dom)):
+            t = tags[i]
+            if t[0] == "#":  # text/comment
+                continue
+            if last.tag is not None and t != last.tag:
+                continue
+            if last.matches(dom, i) and _match_chain(dom, i, chain):
+                out.append(i)
+                if limit and len(out) >= limit and len(comp.chains) == 1:
+                    return out
+    if len(comp.chains) > 1:
+        out = sorted(set(out))
+    return out
+
+
+def select_one(dom: FlatDOM, selector: str) -> Optional[int]:
+    res = select(dom, selector, limit=1)
+    return res[0] if res else None
+
+
+_XPATH_STEP_RE = re.compile(
+    r"(/{1,2})([a-zA-Z][a-zA-Z0-9_-]*|\*)"
+    r"(?:\[@([a-zA-Z-]+)=\"([^\"]*)\"\])?"
+)
+
+
+def xpath_to_css(xpath: str) -> str:
+    """Compile the bestbuy XPath subset to our CSS grammar.
+
+    Supports ``//tag``, ``/tag``, ``[@attr="value"]`` predicates, and a
+    trailing ``/text()`` (dropped — callers read text themselves). E.g.
+    ``//div[@class="sku-title"]/h1/text()`` → ``div[class="sku-title"] > h1``.
+    """
+    xp = xpath.strip()
+    if xp.endswith("/text()"):
+        xp = xp[: -len("/text()")]
+    out: list[str] = []
+    pos = 0
+    first = True
+    for m in _XPATH_STEP_RE.finditer(xp):
+        if m.start() != pos:
+            raise ValueError(f"unsupported xpath: {xpath!r}")
+        pos = m.end()
+        sep, tag, attr, val = m.groups()
+        css = tag if tag != "*" else "*"
+        if attr:
+            css += f'[{attr}="{val}"]'
+        if first:
+            out.append(css)
+            first = False
+        else:
+            out.append(">" if sep == "/" else " ")
+            out.append(css)
+    if pos != len(xp):
+        raise ValueError(f"unsupported xpath: {xpath!r}")
+    return " ".join(" ".join(out).split())

@@ -1,0 +1,298 @@
+"""From-scratch streaming HTML tokenizer + flat DOM builder.
+
+This replaces the reference's ``BeautifulSoup(html, "html.parser")`` full-tree
+parse (see /root/reference/1.samsclub/parse_samsclub.py:207,
+costco/parse_costco.py:37, bestbuy/parse_bestbuy_detai.py:17-18) with a
+single-pass tokenizer whose output is a **flattened DOM node array** —
+parallel arrays (tag id, parent, depth, text, attrs) instead of per-node
+Python objects — so downstream selector matching and boilerplate scoring run
+as vectorized kernels over numpy arrays inside Arrow/pandas UDF batches.
+
+Design notes (scale):
+  * The hot loop is one compiled master regex (``_TOKEN_RE``) driven by
+    ``finditer`` — the per-character work happens in CPython's C regex
+    engine, not in Python bytecode.
+  * Raw-text elements (script/style/textarea/title) are skipped to their
+    closing tag with a single ``str.find`` — no tokenization of JS payloads,
+    which on real retail pages is >80% of the bytes.
+  * Entity decoding (``html.unescape``) is applied lazily: only to text that
+    actually contains ``&`` and only for text nodes / attribute values.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["FlatDOM", "tokenize", "TEXT", "COMMENT"]
+
+# Sentinel tag names for non-element nodes.
+TEXT = "#text"
+COMMENT = "#comment"
+
+# Void elements never take children (HTML5 spec list).
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Raw-text elements: content is not markup; runs to the matching close tag.
+RAWTEXT_ELEMENTS = frozenset(("script", "style", "textarea", "title"))
+
+# Block-ish elements used for implied-close of <p> (subset of HTML5 spec).
+_P_CLOSERS = frozenset(
+    "address article aside blockquote details div dl fieldset figcaption figure "
+    "footer form h1 h2 h3 h4 h5 h6 header hr main menu nav ol p pre section "
+    "table ul".split()
+)
+
+# Implied sibling closes: opening `key` closes an open `value` element.
+_SIBLING_CLOSERS = {
+    "li": frozenset(("li",)),
+    "tr": frozenset(("tr", "td", "th")),
+    "td": frozenset(("td", "th")),
+    "th": frozenset(("td", "th")),
+    "option": frozenset(("option",)),
+    "dd": frozenset(("dd", "dt")),
+    "dt": frozenset(("dd", "dt")),
+    "thead": frozenset(("tr", "td", "th")),
+    "tbody": frozenset(("tr", "td", "th", "thead")),
+    "tfoot": frozenset(("tr", "td", "th", "tbody")),
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+      <!--(?P<comment>.*?)(?:-->|\Z)
+    | <!\[CDATA\[(?P<cdata>.*?)(?:\]\]>|\Z)
+    | <!(?P<decl>[^>]*)>
+    | <\?(?P<pi>[^>]*)>?
+    | </\s*(?P<close>[a-zA-Z][a-zA-Z0-9:_-]*)\s*[^>]*>
+    | <(?P<open>[a-zA-Z][a-zA-Z0-9:_-]*)
+        (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)
+      (?P<selfclose>/?)>
+    """,
+    re.DOTALL | re.VERBOSE,
+)
+
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:@][-a-zA-Z0-9_:.@]*)
+        (?:\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]*)))?""",
+    re.VERBOSE,
+)
+
+_HAS_AMP = "&"
+
+
+def _decode(s: str) -> str:
+    # Entity decode only when an ampersand is present (fast path).
+    return unescape(s) if _HAS_AMP in s else s
+
+
+class FlatDOM:
+    """Flattened DOM: parallel arrays over nodes in document order.
+
+    Node 0 is a synthetic root. Element nodes carry ``attrs`` dicts; text
+    and comment nodes carry ``texts`` payloads. Numpy views (``parent_arr``,
+    ``depth_arr``) back the vectorized selector / boilerplate kernels.
+    """
+
+    __slots__ = ("tags", "parent", "depth", "attrs", "texts", "_parent_arr",
+                 "_depth_arr", "_children")
+
+    def __init__(self) -> None:
+        self.tags: list[str] = ["#root"]
+        self.parent: list[int] = [-1]
+        self.depth: list[int] = [0]
+        self.attrs: list[Optional[dict]] = [None]
+        self.texts: list[Optional[str]] = [None]
+        self._parent_arr: Optional[np.ndarray] = None
+        self._depth_arr: Optional[np.ndarray] = None
+        self._children: Optional[list[list[int]]] = None
+
+    # -- construction ------------------------------------------------------
+    def _add(self, tag: str, parent: int, depth: int,
+             attrs: Optional[dict] = None, text: Optional[str] = None) -> int:
+        self.tags.append(tag)
+        self.parent.append(parent)
+        self.depth.append(depth)
+        self.attrs.append(attrs)
+        self.texts.append(text)
+        return len(self.tags) - 1
+
+    # -- array views -------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.tags)
+
+    @property
+    def parent_arr(self) -> np.ndarray:
+        if self._parent_arr is None or len(self._parent_arr) != len(self.parent):
+            self._parent_arr = np.asarray(self.parent, dtype=np.int32)
+        return self._parent_arr
+
+    @property
+    def depth_arr(self) -> np.ndarray:
+        if self._depth_arr is None or len(self._depth_arr) != len(self.depth):
+            self._depth_arr = np.asarray(self.depth, dtype=np.int32)
+        return self._depth_arr
+
+    def children(self, i: int) -> list[int]:
+        if self._children is None:
+            ch: list[list[int]] = [[] for _ in range(len(self.tags))]
+            for node, par in enumerate(self.parent):
+                if par >= 0:
+                    ch[par].append(node)
+            self._children = ch
+        return self._children[i]
+
+    # -- convenience accessors (used by rules, not hot loops) --------------
+    def attr(self, i: int, name: str) -> Optional[str]:
+        a = self.attrs[i]
+        return a.get(name) if a else None
+
+    def node_text(self, i: int) -> str:
+        """Concatenated descendant text of node i (whitespace as-is)."""
+        out: list[str] = []
+        stack = [i]
+        while stack:
+            n = stack.pop()
+            if self.tags[n] == TEXT:
+                out.append(self.texts[n] or "")
+            else:
+                stack.extend(reversed(self.children(n)))
+        return "".join(out)
+
+    def iter_descendants(self, i: int):
+        """Yield node ids strictly inside the subtree rooted at i, in doc order."""
+        n = len(self.tags)
+        d = self.depth[i]
+        j = i + 1
+        depth = self.depth
+        parent = self.parent
+        # Document order == array order; subtree ends at first node with
+        # depth <= d whose ancestry leaves i. Since siblings may appear at
+        # equal depth, walk until depth[j] <= d.
+        while j < n and depth[j] > d:
+            yield j
+            j += 1
+
+
+def _parse_attrs(raw: str) -> dict:
+    if not raw or raw.isspace():
+        return {}
+    out: dict = {}
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        if name in out:
+            continue  # first occurrence wins (browser behavior)
+        if m.group(2) is None:
+            out[name] = ""
+        else:
+            val = m.group(3)
+            if val is None:
+                val = m.group(4)
+            if val is None:
+                val = m.group(5) or ""
+            out[name] = _decode(val)
+    return out
+
+
+def tokenize(html: str) -> FlatDOM:
+    """Single-pass tokenize + tree build. Never raises on malformed input."""
+    dom = FlatDOM()
+    # Open-element stack of (node_id, tag).
+    stack: list[tuple[int, str]] = [(0, "#root")]
+    pos = 0
+    n = len(html)
+    find = _TOKEN_RE.search
+
+    while pos < n:
+        m = find(html, pos)
+        if m is None:
+            # trailing text
+            _emit_text(dom, stack, html[pos:])
+            break
+        start = m.start()
+        if start > pos:
+            _emit_text(dom, stack, html[pos:start])
+        pos = m.end()
+
+        open_tag = m.group("open")
+        if open_tag is not None:
+            tag = open_tag.lower()
+            _implied_closes(stack, tag)
+            parent_id = stack[-1][0]
+            attrs = _parse_attrs(m.group("attrs") or "")
+            node = dom._add(tag, parent_id, dom.depth[parent_id] + 1, attrs=attrs)
+            self_closing = bool(m.group("selfclose")) or tag in VOID_ELEMENTS
+            if not self_closing:
+                if tag in RAWTEXT_ELEMENTS:
+                    # Raw text: skip to the matching close tag with str.find.
+                    close_marker = "</" + tag
+                    idx = _find_ci(html, close_marker, pos)
+                    if idx == -1:
+                        raw = html[pos:]
+                        pos = n
+                    else:
+                        raw = html[pos:idx]
+                        gt = html.find(">", idx)
+                        pos = n if gt == -1 else gt + 1
+                    if raw:
+                        dom._add(TEXT, node, dom.depth[node] + 1,
+                                 text=raw if tag in ("script", "style") else _decode(raw))
+                else:
+                    stack.append((node, tag))
+            continue
+
+        close_tag = m.group("close")
+        if close_tag is not None:
+            tag = close_tag.lower()
+            # Pop to the matching open tag; ignore unmatched closes.
+            for k in range(len(stack) - 1, 0, -1):
+                if stack[k][1] == tag:
+                    del stack[k:]
+                    break
+            continue
+
+        comment = m.group("comment")
+        if comment is not None:
+            dom._add(COMMENT, stack[-1][0], dom.depth[stack[-1][0]] + 1, text=comment)
+            continue
+
+        # CDATA sections, doctype, processing instructions: dropped
+        # (HTML5 treats CDATA outside foreign content as bogus comment).
+
+    return dom
+
+
+def _find_ci(haystack: str, needle: str, start: int) -> int:
+    """Case-insensitive find without lowering the whole page repeatedly."""
+    idx = haystack.find(needle, start)
+    if idx != -1:
+        return idx
+    # Fallback: case-insensitive scan (rare: '</SCRIPT>' etc.)
+    m = re.compile(re.escape(needle), re.IGNORECASE).search(haystack, start)
+    return m.start() if m else -1
+
+
+def _emit_text(dom: FlatDOM, stack: list, raw: str, decode: bool = True) -> None:
+    if not raw:
+        return
+    parent_id, parent_tag = stack[-1]
+    dom._add(TEXT, parent_id, dom.depth[parent_id] + 1,
+             text=_decode(raw) if decode else raw)
+
+
+def _implied_closes(stack: list, tag: str) -> None:
+    """HTML5-ish implied end tags: <li><li>, <p><div>, table cells, …"""
+    if not stack or len(stack) == 1:
+        return
+    top = stack[-1][1]
+    closers = _SIBLING_CLOSERS.get(tag)
+    if closers:
+        while len(stack) > 1 and stack[-1][1] in closers:
+            stack.pop()
+        return
+    if tag in _P_CLOSERS and top == "p":
+        stack.pop()

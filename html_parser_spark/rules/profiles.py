@@ -1,0 +1,559 @@
+"""Per-site extraction rules → canonical envelopes (SURVEY.md §2.3-§2.7).
+
+Each ``extract_*`` re-expresses one reference parser's semantics over the
+flat DOM + collected scripts. Dispatch (:func:`extract_page`) probes carriers
+in a fixed order — the generalized version of each reference script being
+hard-wired to its site.
+
+Envelope shapes follow the reference goldens exactly (SURVEY.md §1.1):
+detail  {success, url, result_count, detail{...}, remaining_credits}
+SERP    {success, search, page, total_results, result_count, results[]}
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Callable, Optional
+
+from ..htmlkit.tokenizer import FlatDOM, tokenize
+from ..htmlkit import selectors as S
+from ..extract import carriers as C
+from ..extract.jsonpath import get_from_json as gj, walk_first
+from ..extract import fields as F
+
+__all__ = ["extract_page", "EXTRACTORS"]
+
+
+def _canonical_url(dom: FlatDOM, fallback: Optional[str]) -> Optional[str]:
+    node = S.select_one(dom, 'link[rel="canonical"]')
+    href = dom.attr(node, "href") if node is not None else None
+    return F.strip_query(href) if href else fallback
+
+
+def _envelope(url: Optional[str], detail: dict) -> dict:
+    # 1.samsclub/parse_samsclub.py:225-232,470-472 fixed envelope.
+    return {
+        "success": True,
+        "url": url,
+        "result_count": 1,
+        "detail": detail,
+        "remaining_credits": None,
+    }
+
+
+# -- nextdata-detail (walmart/parse_walmart-2.py) ---------------------------
+
+def extract_nextdata_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    data = C.json_script_by_id(scripts, "__NEXT_DATA__")
+    prod = gj(data, ["props", "pageProps", "initialData", "data", "product"])
+    if prod is None:
+        return None
+    idml = gj(data, ["props", "pageProps", "initialData", "data", "idml"]) or {}
+    vmap = prod.get("variantsMap") or {}
+    variants = [
+        {"type": "Color", "value": k,
+         "available": gj(v, ["availabilityStatus"]) == "IN_STOCK"}
+        for k, v in vmap.items()
+    ] or None
+    detail = {
+        "product_id": prod.get("usItemId"),
+        "name": prod.get("name"),
+        "brand": prod.get("brand"),
+        "price": gj(prod, ["priceInfo", "currentPrice", "price"]),
+        "list_price": gj(prod, ["priceInfo", "wasPrice", "price"]),
+        "currency": gj(prod, ["priceInfo", "currentPrice", "currencyUnit"]),
+        "currency_symbol": "$",
+        "rating": prod.get("averageRating"),
+        "total_ratings": prod.get("numberOfRatings"),
+        "total_reviews": prod.get("numberOfReviews"),
+        "description": prod.get("shortDescription"),
+        "images": [i.get("url") for i in gj(prod, ["imageInfo", "allImages"]) or []],
+        "categories": [c.get("name") for c in gj(prod, ["category", "path"]) or []],
+        "specifications": idml.get("specifications"),
+        "variants": variants,
+        "in_stock": prod.get("availabilityStatus") == "IN_STOCK",
+        "url": _canonical_url(dom, url),
+    }
+    return _envelope(detail["url"], detail)
+
+
+# -- nextdata-serp (walmart/parse_walmart.py) -------------------------------
+
+def extract_nextdata_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    data = C.json_script_by_id(scripts, "__NEXT_DATA__")
+    sr = gj(data, ["props", "pageProps", "initialData", "searchResult"])
+    if sr is None:
+        return None
+    items = gj(sr, ["itemStacks", 0, "items"]) or []
+    base = "https://www.walmarket.example.com"
+    results = []
+    for it in items:
+        if it.get("__typename") != "Product":  # Q7 filter
+            continue
+        results.append({
+            "id": it.get("usItemId"),
+            "name": it.get("name"),
+            "brand": it.get("brand"),
+            "price": gj(it, ["priceInfo", "linePrice", "price"]),
+            "rating": it.get("averageRating"),
+            "total_reviews": it.get("numberOfReviews"),
+            "url": F.prefix_url(base, F.strip_query(it.get("canonicalUrl"))),
+            "image": gj(it, ["imageInfo", "thumbnailUrl"]),
+            "in_stock": gj(it, ["availabilityStatusV2", "value"]) == "IN_STOCK",
+        })
+    q = gj(data, ["props", "pageProps", "initialSearchQueryVariables"]) or {}
+    return {
+        "success": True,
+        "search": q.get("query"),
+        "page": q.get("page"),
+        "total_results": sr.get("count"),
+        "result_count": len(results),  # R5
+        "results": results,
+    }
+
+
+# -- redux-detail (1.samsclub/parse_samsclub.py:206-472) --------------------
+
+def extract_redux_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    state = C.json_script_by_id(scripts, "tb-djs-wml-redux-state")
+    if state is None:
+        return None
+    products = gj(state, ["cache", "products"]) or {}
+    if not products:
+        return None
+    pid, prod = next(iter(products.items()))  # first product (:218-219)
+    # HTML fragments inside JSON fields (P3): spec table + shortDescription ul.
+    spec_html = gj(prod, ["manufacturingInfo", "specification"])
+    specifications = (
+        F.parse_spec_table(tokenize(spec_html)) if spec_html else None
+    )
+    short_html = gj(prod, ["descriptors", "shortDescription"])
+    features = F.parse_ul(tokenize(short_html)) if short_html else None
+    images_entry = gj(state, ["productImages", pid, "images"]) or []
+    messages = state.get("messages") or []
+
+    def message(key: str) -> Optional[str]:
+        # Q6 first-match message-key lookup (:394-404).
+        for m in messages:
+            if m.get("key") == key:
+                return m.get("value")
+        return None
+
+    detail = {
+        "product_id": prod.get("productId"),
+        "name": gj(prod, ["descriptors", "name"]),
+        "brand": gj(prod, ["manufacturingInfo", "brand"]),
+        "price": gj(prod, ["skus", 0, "onlineOffer", "price", "finalPrice", "amount"]),
+        "list_price": gj(prod, ["skus", 0, "onlineOffer", "price", "listPrice", "amount"]),
+        "currency": gj(prod, ["skus", 0, "onlineOffer", "price", "finalPrice", "currency"]),
+        "currency_symbol": "$",
+        "rating": gj(prod, ["reviewsAndRatings", "avgRating"]),
+        "total_ratings": gj(prod, ["reviewsAndRatings", "numRatings"]),
+        "total_reviews": gj(prod, ["reviewsAndRatings", "numReviews"]),
+        "description": gj(prod, ["descriptors", "longDescription"]),
+        "images": [i.get("ImageUrl") for i in images_entry],
+        "categories": gj(prod, ["category", "path"]),
+        "specifications": specifications,
+        "variants": None,
+        "in_stock": None,
+        "url": _canonical_url(dom, url),
+        "features": features,
+        "shipping_info": message("sidesheet.shipping.upsell.message"),
+        "pickup_info": message("channelbanner.pickup.message"),
+    }
+    # Variants via nested-loop→hash join analog (R3) when present.
+    return _envelope(detail["url"], detail)
+
+
+# -- nextprops-detail (bedbathbeyond/parse_bedbathbeyond.py) ----------------
+
+def extract_nextprops_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    data = C.json_script_by_id(scripts, "__NEXT_DATA__")
+    prod = gj(data, ["props", "pageProps", "product"])
+    if prod is None:
+        return None
+    pr = gj(data, ["props", "pageProps", "initialPowerReviews"]) or {}
+    # R2 equi-join: option.imageId -> oViewerImages.id (:199-218).
+    viewer = {i.get("id"): i.get("cdnPath")
+              for i in prod.get("oViewerImages") or []}
+    variants = [
+        {"type": o.get("category"), "value": o.get("name"),
+         "available": o.get("isAvailable"),
+         "image": viewer.get(o.get("imageId"))}
+        for o in prod.get("options") or []
+    ] or None
+    detail = {
+        "product_id": prod.get("id"),
+        "name": prod.get("title"),
+        "brand": prod.get("brandName"),
+        "price": gj(prod, ["price", "amount"]),
+        "list_price": gj(prod, ["price", "listAmount"]),
+        "currency": gj(prod, ["price", "currency"]),
+        "currency_symbol": "$",
+        "rating": F.weighted_rating(pr.get("ratingCounts")),  # T18
+        "total_ratings": pr.get("ratingCount"),
+        "total_reviews": pr.get("reviewCount"),
+        "description": prod.get("description"),
+        "images": [i.get("cdnPath") for i in prod.get("oViewerImages") or []],
+        "categories": [c.get("name") for c in prod.get("categories") or []],
+        "specifications": prod.get("specifications"),
+        "variants": variants,
+        "in_stock": prod.get("isInStock"),
+        "url": _canonical_url(dom, url),
+    }
+    return _envelope(detail["url"], detail)
+
+
+# -- inline-js-detail (costco/parse_costco.py) ------------------------------
+
+def extract_inline_js_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    script = C.script_containing(scripts, "priceMax")  # Q3 loop+break
+    if script is None:
+        return None
+    price = F.parse_money(C.regex_scalar(script, r"priceMax\s*:\s*'(.*?)'"))
+    pid = C.regex_scalar(script, r"pid\s*:\s*'(.*?)'")
+    sku = C.regex_scalar(script, r"sku\s*:\s*'(.*?)'")
+    cdn = C.regex_scalar(script, r"cdn_url\s*:\s*'(.*?)'")
+    list_price = F.parse_money(
+        F.decode_b64(C.regex_scalar(script, r"priceListTotal\s*:\s*'(.*?)'")))
+    options = C.regex_json(script, r"var options\s*=\s*(\[.*?\]);",
+                           normalize_quotes=True)  # J2 + ' → "
+    variants = [
+        {"type": o.get("type"), "value": o.get("value"),
+         "available": o.get("available")}
+        for o in options or []
+    ] or None
+
+    def meta(prop: str) -> Optional[str]:
+        n = S.select_one(dom, f'meta[property="{prop}"]')
+        return dom.attr(n, "content") if n is not None else None
+
+    brand_node = S.select_one(dom, "div[itemprop=brand]")
+    # Q5: <p> containing "Features:" → following sibling <ul> (:160-200).
+    features = _sibling_ul_items(dom, "Features:")
+    dims = _sibling_ul_items(dom, "Dimensions and Weight:")
+    specifications = [
+        {"name": d.split(": ", 1)[0], "value": d.split(": ", 1)[1]}
+        for d in dims if ": " in d
+    ] or None
+    detail = {
+        "product_id": pid,
+        "name": meta("og:title"),
+        "brand": F.collapse_ws(dom.node_text(brand_node)) if brand_node else None,
+        "price": price,
+        "list_price": list_price,
+        "currency": "USD",
+        "currency_symbol": "$",
+        "rating": None,
+        "total_ratings": None,
+        "total_reviews": None,
+        "description": meta("og:description"),
+        "images": [cdn] if cdn else [],
+        "categories": None,
+        "specifications": specifications,
+        "variants": variants,
+        "in_stock": None,
+        "url": _canonical_url(dom, url),
+        "sku": sku,
+        "features": features or None,
+    }
+    return _envelope(detail["url"], detail)
+
+
+def _sibling_ul_items(dom: FlatDOM, marker: str) -> list[str]:
+    """find_next_sibling('ul') after a <p> whose text contains marker (Q5)."""
+    for p in S.select(dom, "p"):
+        if marker in dom.node_text(p):
+            parent = dom.parent[p]
+            sibs = dom.children(parent)
+            try:
+                at = sibs.index(p)
+            except ValueError:
+                continue
+            for s in sibs[at + 1:]:
+                if dom.tags[s] == "ul":
+                    return F.parse_ul(dom, s)
+    return []
+
+
+# -- pixels-detail (overstock/parse_overstock.py) ---------------------------
+
+def extract_pixels_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    script = C.script_by_id(scripts, "web-pixels-manager-setup")
+    if script is None:
+        script = C.script_containing(scripts, "webPixelsManager")
+    if script is None:
+        return None
+    # J2: three carved blobs (:80-103).
+    missing = C.regex_json(script, r"const missingAttributes\s*=\s*(\{.*?\})\s*\n")
+    desc = C.regex_json(script, r"const scripts\s*=\s*(\{.*?\})\s*\n")
+    prod = C.regex_json(
+        script, r"window\.salesforce\s*=\s*\{datalayer:\s*\{product:\s*(\{.*?\})\}\};")
+    if prod is None:
+        return None
+    # X1 sectionizer over the description lines (:205-229).
+    lines = (gj(desc, ["description"]) or "").split("\n")
+    buckets = F.sectionize_lines(
+        lines, {"features:": "features", "dimensions:": "dimensions"})
+    specifications = [
+        {"name": d.split(": ", 1)[0], "value": d.split(": ", 1)[1]}
+        for d in buckets["dimensions"] if ": " in d
+    ] or None
+    # Q8: data-URI filter + data-src fallback + https: prefix (:177-189).
+    images = []
+    for li in S.select(dom, "li.media-viewer__item"):
+        for img in dom.children(li):
+            if dom.tags[img] != "img":
+                continue
+            src = dom.attr(img, "data-src") or dom.attr(img, "src")
+            if src and not src.startswith("data:"):
+                images.append(F.prefix_url("", src))
+    detail = {
+        "product_id": str(prod.get("id")),
+        "name": prod.get("title"),
+        "brand": prod.get("vendor"),
+        "price": prod.get("price"),
+        "list_price": prod.get("compare_at_price"),
+        "currency": prod.get("currency"),
+        "currency_symbol": "$",
+        "rating": prod.get("rating"),
+        "total_ratings": prod.get("ratings_count"),
+        "total_reviews": prod.get("reviews_count"),
+        "description": " ".join(buckets["description"]),
+        "images": images,
+        "categories": gj(missing, ["categories"]),
+        "specifications": specifications,
+        "variants": None,
+        "in_stock": prod.get("available"),
+        "url": _canonical_url(dom, url),
+        "features": buckets["features"] or None,
+    }
+    return _envelope(detail["url"], detail)
+
+
+# -- escaped-component-detail (bestbuy/parse_bestbuy_detai.py) --------------
+
+def extract_escaped_component_detail(dom: FlatDOM, scripts: list,
+                                     url: str) -> Optional[dict]:
+    script = C.script_containing(scripts, "initializer.initializeComponent")
+    if script is None:
+        return None
+    escaped = C.regex_scalar(
+        script, r'initializeComponent\(\{"data":\s*"(.*)"\}\)')
+    comp = C.unescape_embedded_json(escaped) if escaped else None  # J4
+    app = gj(comp, ["app"]) or {}
+    # XPath-sourced DOM fields (Q2) via compiled CSS equivalents.
+    name_n = S.select_one(dom, S.xpath_to_css('//div[@class="sku-title"]/h1/text()'))
+    brand_n = S.select_one(dom, 'div[class="product-brand"] a')
+    price_n = S.select_one(dom, 'div.priceView-customer-price span')
+    rating_n = S.select_one(dom, "div.ugc-ratings p.visually-hidden")
+    rating_text = dom.node_text(rating_n) if rating_n is not None else ""
+    rm = re.search(r"Rating ([\d.]+) out of 5 stars with ([\d,]+) review",
+                   rating_text)
+    # R8 order-preserving dedup + ;size strip (:46).
+    images = F.dedup_preserve_order([
+        (dom.attr(i, "src") or "").split(";")[0]
+        for i in S.select(dom, "img.gallery-image")
+    ])
+    # R11/R12: breadcrumbs skip-first + name/url zip (:75-83).
+    crumbs = [F.collapse_ws(dom.node_text(li))
+              for li in S.select(dom, "li.crumb")][1:]
+    # T13: in_stock = any button text containing "Add to Cart" (:70-71).
+    in_stock = any("Add to Cart" in dom.node_text(b)
+                   for b in S.select(dom, "button"))
+    desc_n = S.select_one(dom, "div.long-description")
+    spec_cats = gj(C.json_script_by_id(scripts, "shop-specifications"),
+                   ["specifications", "categories"]) or []
+    specifications = [
+        {"name": s.get("displayName"), "value": s.get("value")}
+        for cat in spec_cats for s in cat.get("specifications") or []
+    ] or None
+    detail = {
+        "product_id": str(app.get("sku")) if app.get("sku") else None,
+        "name": F.collapse_ws(dom.node_text(name_n)) if name_n is not None else None,
+        "brand": F.collapse_ws(dom.node_text(brand_n)) if brand_n is not None else None,
+        "price": F.parse_money(dom.node_text(price_n)) if price_n is not None else None,
+        "list_price": gj(app, ["productPrice", "regularPrice"]),
+        "currency": "USD",
+        "currency_symbol": "$",
+        "rating": float(rm.group(1)) if rm else None,
+        "total_ratings": None,
+        "total_reviews": F.parse_int(rm.group(2)) if rm else None,
+        "description": F.collapse_ws(dom.node_text(desc_n)) if desc_n is not None else None,
+        "images": images,
+        "categories": crumbs,
+        "specifications": specifications,
+        "variants": None,
+        "in_stock": in_stock,
+        "url": _canonical_url(dom, url),
+        "upc": app.get("upc"),
+        "sku": str(app.get("sku")) if app.get("sku") else None,
+    }
+    return _envelope(detail["url"], detail)
+
+
+# -- webpack-detail (prev/parse_wayfair.py) ---------------------------------
+
+def extract_webpack_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    entry = C.webpack_entry_data(scripts)  # J5 re-keyed on marker
+    pd = gj(entry, ["application", "props", "productDetails"])
+    if pd is None:
+        return None
+    selected = set(pd.get("selectedOptions") or [])
+    # R4 semi-join: option kept iff option_id ∈ selectedOptions (:179-201).
+    variants = [
+        {"type": o.get("category"), "value": o.get("name"), "available": True}
+        for o in pd.get("options") or [] if o.get("option_id") in selected
+    ] or None
+    detail = {
+        "product_id": pd.get("sku"),
+        "name": pd.get("name"),
+        "brand": gj(pd, ["manufacturer", "name"]),
+        "price": F.parse_money(gj(pd, ["price", "customerPrice", "display"])),
+        "list_price": F.parse_money(gj(pd, ["price", "listPrice", "display"])),
+        "currency": "USD",
+        "currency_symbol": (gj(pd, ["price", "customerPrice", "display"]) or "$")[:1],
+        "rating": gj(pd, ["reviews", "averageRating"]),
+        "total_ratings": gj(pd, ["reviews", "ratingCount"]),
+        "total_reviews": gj(pd, ["reviews", "reviewCount"]),
+        "description": pd.get("description"),
+        "images": [F.hires_image(u) for u in pd.get("images") or []],  # T11
+        "categories": None,
+        "specifications": None,
+        "variants": variants,
+        "in_stock": None,
+        "url": _canonical_url(dom, url),
+        "sku": pd.get("sku"),
+    }
+    detail["categories"] = None
+    env = _envelope(detail["url"], detail)
+    return env
+
+
+# -- discover-detail (prev/parse_tesco_html.py) -----------------------------
+
+def extract_discover_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    blobs = C.json_scripts_by_type(scripts, "application/discover+json")
+    cache = None
+    for b in blobs:
+        cache = gj(b, ["mfe-orchestrator", "props", "apolloCache"])
+        if cache:
+            break
+    if not cache:
+        return None
+    prod = None
+    reviews = None
+    for k, v in cache.items():
+        if k.startswith("ProductType:") and prod is None:
+            prod = v
+    if prod is None:
+        return None
+    # Q4: first key starting with "reviews" (:95-113).
+    for k, v in cache.items():
+        if k.startswith("reviews"):
+            reviews = v
+            break
+    pack = gj(prod, ["packSize", 0]) or {}
+    pack_size = (f"{pack.get('value')} {pack.get('units')}"
+                 if pack.get("value") and pack.get("units") else None)  # T14
+    detail = {
+        "product_id": prod.get("id"),
+        "name": prod.get("title"),
+        "brand": prod.get("brandName"),
+        "price": gj(prod, ["price", "actual"]),
+        "list_price": None,
+        "currency": "USD",
+        "currency_symbol": "$",
+        "rating": gj(reviews, ["stats", "overallRating"]),
+        "total_ratings": None,
+        "total_reviews": gj(reviews, ["stats", "noOfReviews"]),
+        "description": None,
+        "images": prod.get("images"),
+        "categories": [prod.get("superDepartmentName")]
+        if prod.get("superDepartmentName") else None,
+        "specifications": None,
+        "variants": None,
+        "in_stock": None,
+        "url": _canonical_url(dom, url),
+        "tpnb": prod.get("tpnb"),
+        "tpnc": prod.get("tpnc"),
+        "features": prod.get("description"),
+        "pack_size": pack_size,
+    }
+    detail["description"] = detail["description"]
+    env = _envelope(detail["url"], detail)
+    return env
+
+
+# -- css-serp (prev/parse_mercado.py) ---------------------------------------
+
+def extract_css_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    cards = S.select(dom, "li.ui-search-layout__item")
+    if not cards:
+        return None
+    results = []
+    for li in cards:
+        sub = dom  # same dom; operate within subtree
+        title_n = next((i for i in dom.iter_descendants(li)
+                        if dom.tags[i] == "h2"), None)
+        link_n = next((i for i in dom.iter_descendants(li)
+                       if dom.tags[i] == "a"), None)
+        img_n = next((i for i in dom.iter_descendants(li)
+                      if dom.tags[i] == "img"), None)
+        frac = cents = None
+        for i in dom.iter_descendants(li):
+            cls = dom.attr(i, "class") or ""
+            if "andes-money-amount__fraction" in cls:
+                frac = dom.node_text(i)
+            elif "andes-money-amount__cents" in cls:
+                cents = dom.node_text(i)
+        price = None
+        if frac is not None:
+            # T5 fraction+cents assembly (prev/parse_mercado.py:50-64).
+            f = frac.replace(",", "").replace(".", "")
+            price = float(f"{f}.{cents}") if cents else float(f)
+        src = None
+        if img_n is not None:
+            src = dom.attr(img_n, "data-src") or dom.attr(img_n, "src")
+            if src and src.startswith("data:"):
+                src = dom.attr(img_n, "data-src")
+        results.append({
+            "name": F.collapse_ws(dom.node_text(title_n)) if title_n is not None else None,
+            "price": price,
+            "url": F.strip_query(dom.attr(link_n, "href")) if link_n is not None else None,
+            "image": src,
+        })
+    return {
+        "success": True,
+        "result_count": len(results),
+        "results": results,
+    }
+
+
+# Ordered dispatch table: (profile name, extractor).
+EXTRACTORS: list[tuple[str, Callable]] = [
+    ("redux-detail", extract_redux_detail),
+    ("nextprops-detail", extract_nextprops_detail),
+    ("nextdata-serp", extract_nextdata_serp),
+    ("nextdata-detail", extract_nextdata_detail),
+    ("discover-detail", extract_discover_detail),
+    ("webpack-detail", extract_webpack_detail),
+    ("escaped-component-detail", extract_escaped_component_detail),
+    ("pixels-detail", extract_pixels_detail),
+    ("inline-js-detail", extract_inline_js_detail),
+    ("css-serp", extract_css_serp),
+]
+
+
+def extract_page(dom: FlatDOM, scripts: list,
+                 url: str) -> tuple[Optional[str], Optional[dict]]:
+    """Try extractors in order; return (profile, envelope) or (None, None)."""
+    for name, fn in EXTRACTORS:
+        try:
+            env = fn(dom, scripts, url)
+        except Exception:
+            env = None
+        if env is not None:
+            return name, env
+    return None, None

@@ -1,0 +1,884 @@
+"""Deterministic synthetic Common-Crawl-style pages corpus (FIXTURES.md).
+
+One renderer per reference carrier profile (FIXTURES.md §2): each embeds the
+same canonical product payload the way the real site does, so every
+extraction operator in SURVEY.md §2 is exercised. Golden envelopes are
+computed **directly from the payload** (never by parsing), making the
+pipeline test a true round-trip: payload → html → tokenizer/rules → envelope
+must equal payload → golden.
+
+Determinism: ``random.Random(f"42:{idx}")`` — stable across processes and
+PYTHONHASHSEED (str seeds go through sha512). No wall-clock anywhere.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import random
+import zlib
+from datetime import datetime, timedelta, timezone
+from typing import Optional
+
+__all__ = [
+    "PROFILES", "DETAIL_PROFILES", "SERP_PROFILES",
+    "payload_for", "profile_for", "url_for", "render_page", "page_record",
+    "golden_envelope", "iter_pages", "EPOCH",
+]
+
+SEED = 42
+EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+DETAIL_PROFILES = [
+    "nextdata-detail",      # walmart/parse_walmart-2.py
+    "redux-detail",         # 1.samsclub/parse_samsclub.py
+    "nextprops-detail",     # bedbathbeyond/parse_bedbathbeyond.py
+    "inline-js-detail",     # costco/parse_costco.py
+    "pixels-detail",        # overstock/parse_overstock.py
+    "escaped-component-detail",  # bestbuy/parse_bestbuy_detai.py
+    "webpack-detail",       # prev/parse_wayfair.py
+    "discover-detail",      # prev/parse_tesco_html.py
+]
+SERP_PROFILES = [
+    "nextdata-serp",        # walmart/parse_walmart.py
+    "css-serp",             # prev/parse_mercado.py
+]
+PROFILES = DETAIL_PROFILES + SERP_PROFILES
+
+_SITES = {
+    "nextdata-detail": "walmarket",
+    "redux-detail": "samsdepot",
+    "nextprops-detail": "bedbath",
+    "inline-js-detail": "costgo",
+    "pixels-detail": "overrock",
+    "escaped-component-detail": "bestbuyer",
+    "webpack-detail": "wayflair",
+    "discover-detail": "tesgo",
+    "nextdata-serp": "walmarket-search",
+    "css-serp": "mercadolibro",
+}
+
+_ADJ = ["Compact", "Deluxe", "Classic", "Ultra", "Smart", "Eco", "Pro",
+        "Premium", "Portable", "Heavy-Duty", "Wireless", "Ergonomic"]
+_NOUN = ["Blender", "Headphones", "Desk Lamp", "Air Fryer", "Monitor",
+         "Backpack", "Coffee Maker", "Vacuum", "Keyboard", "Space Heater",
+         "Toaster", "Office Chair"]
+_BRANDS = ["Acmetek", "Nordway", "Zenbright", "Kitchor", "Veltron",
+           "Homecrest", "Lumina", "Duraflex"]
+_CATS = ["Home", "Kitchen", "Electronics", "Office", "Appliances",
+         "Furniture", "Outdoors"]
+_SPEC_KEYS = ["Color", "Material", "Weight", "Width", "Height", "Model",
+              "Warranty", "Voltage", "Capacity", "Country of Origin"]
+_WORDS = ("quality durable modern design value performance comfort power "
+          "style storage easy clean quiet fast strong light bright safe "
+          "family everyday premium tested trusted").split()
+
+
+def _rng(idx: int) -> random.Random:
+    return random.Random(f"{SEED}:{idx}")
+
+
+def profile_for(idx: int) -> str:
+    """Profile assignment incl. the pdf / error special rows.
+
+    ~2% PDF payloads, ~2% malformed/blocked pages (FIXTURES.md §1), rest
+    round-robins over the 10 carrier profiles.
+    """
+    if idx % 50 == 48:
+        return "pdf"
+    if idx % 50 == 49:
+        return "error"
+    return PROFILES[idx % len(PROFILES)]
+
+
+def _sentence(r: random.Random, n: int) -> str:
+    ws = [r.choice(_WORDS) for _ in range(n)]
+    ws[0] = ws[0].capitalize()
+    return " ".join(ws) + "."
+
+
+def payload_for(idx: int) -> dict:
+    """Canonical product payload — the single source of truth per page."""
+    r = _rng(idx)
+    pid = 100000 + idx
+    name = f"{r.choice(_ADJ)} {r.choice(_NOUN)} {r.randint(100, 999)}"
+    brand = r.choice(_BRANDS)
+    price_cents = r.randint(499, 129999)
+    list_cents = price_cents + r.randint(0, 40000)
+    rating_milli = r.randint(1000, 5000)
+    total_ratings = r.randint(0, 4000)
+    total_reviews = r.randint(0, total_ratings) if total_ratings else 0
+    n_images = r.randint(1, 6)
+    images = [
+        f"https://img.{_SITES.get(profile_for(idx), 'docs').split('-')[0]}.example.com/p/{pid}/{k}.jpg"
+        for k in range(n_images)
+    ]
+    cats = r.sample(_CATS, r.randint(1, 3))
+    specs = [
+        {"name": k, "value": f"{r.choice(_WORDS)}-{r.randint(1, 99)}"}
+        for k in r.sample(_SPEC_KEYS, r.randint(2, 5))
+    ]
+    variants = [
+        {"type": "Color", "value": v, "available": bool(r.getrandbits(1))}
+        for v in r.sample(["Black", "White", "Red", "Blue", "Silver"],
+                          r.randint(1, 3))
+    ]
+    features = [_sentence(r, r.randint(3, 6)) for _ in range(r.randint(2, 4))]
+    description = " ".join(_sentence(r, r.randint(6, 12)) for _ in range(2))
+    # Rating histogram (bedbathbeyond weighted-mean path, T18/R6).
+    hist = {str(s): r.randint(0, 50) for s in range(1, 6)}
+    return {
+        "product_id": str(pid),
+        "name": name,
+        "brand": brand,
+        "price": price_cents / 100.0,
+        "list_price": list_cents / 100.0,
+        "currency": "USD",
+        "currency_symbol": "$",
+        "rating": rating_milli / 1000.0,
+        "total_ratings": total_ratings,
+        "total_reviews": total_reviews,
+        "description": description,
+        "features": features,
+        "images": images,
+        "categories": cats,
+        "specifications": specs,
+        "variants": variants,
+        "in_stock": price_cents % 7 != 0,
+        "rating_hist": hist,
+    }
+
+
+def url_for(idx: int) -> str:
+    profile = profile_for(idx)
+    site = _SITES.get(profile, "docs")
+    if profile == "pdf":
+        return f"https://files.example.com/docs/report-{idx}.pdf"
+    if profile == "error":
+        return f"https://blocked.example.com/item/{idx}"
+    slug = f"item-{100000 + idx}"
+    return f"https://www.{site}.example.com/{_CATS[idx % len(_CATS)].lower()}/{slug}/{100000 + idx}"
+
+
+# --------------------------------------------------------------------------
+# Shared page chrome (gives the boilerplate scorer something to strip).
+# --------------------------------------------------------------------------
+
+def _chrome_head(title: str, extra: str = "") -> str:
+    return (
+        "<!DOCTYPE html><html><head>"
+        f"<title>{title}</title>"
+        '<meta charset="utf-8">'
+        f"{extra}"
+        "<style>.nav{color:#333}</style>"
+        "</head><body>"
+        '<nav class="topnav"><ul>'
+        '<li><a href="/">Home</a></li><li><a href="/deals">Deals</a></li>'
+        '<li><a href="/account">Account</a></li><li><a href="/cart">Cart</a></li>'
+        "</ul></nav>"
+    )
+
+
+_FOOTER = (
+    '<footer><div class="links">'
+    '<a href="/about">About Us</a> <a href="/careers">Careers</a> '
+    '<a href="/privacy">Privacy Policy</a> <a href="/terms">Terms of Use</a>'
+    "</div><p>© 2025 Example Retail Group. All rights reserved.</p>"
+    "</footer></body></html>"
+)
+
+
+def _main_block(p: dict) -> str:
+    """Visible product section — the 'main content' for text extraction."""
+    feats = "".join(f"<li>{f}</li>" for f in p["features"])
+    specs = "".join(
+        f"<tr><td>{s['name']}</td><td>{s['value']}</td></tr>"
+        for s in p["specifications"]
+    )
+    return (
+        '<main><article class="product-main">'
+        f"<h1>{p['name']}</h1>"
+        f'<div class="brand">by {p["brand"]}</div>'
+        f'<span class="price">${p["price"]:.2f}</span>'
+        f'<div class="description"><p>{p["description"]}</p></div>'
+        f'<h2>Features</h2><ul class="features">{feats}</ul>'
+        f"<h2>Specifications</h2><table>{specs}</table>"
+        "</article></main>"
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-profile renderers
+# --------------------------------------------------------------------------
+
+def _render_nextdata_detail(p: dict, url: str) -> str:
+    # walmart/parse_walmart-2.py:75-78 shape + ld+json (J1).
+    product = {
+        "usItemId": p["product_id"],
+        "name": p["name"],
+        "brand": p["brand"],
+        "priceInfo": {
+            "currentPrice": {"price": p["price"], "currencyUnit": p["currency"]},
+            "wasPrice": {"price": p["list_price"]},
+        },
+        "averageRating": p["rating"],
+        "numberOfReviews": p["total_reviews"],
+        "numberOfRatings": p["total_ratings"],
+        "imageInfo": {"allImages": [{"url": u} for u in p["images"]]},
+        "category": {"path": [{"name": c} for c in p["categories"]]},
+        "shortDescription": p["description"],
+        "availabilityStatus": "IN_STOCK" if p["in_stock"] else "OUT_OF_STOCK",
+        "variantsMap": {
+            v["value"]: {"availabilityStatus": "IN_STOCK" if v["available"] else "OUT_OF_STOCK"}
+            for v in p["variants"]
+        },
+    }
+    idml = {"specifications": p["specifications"]}
+    next_data = {
+        "props": {"pageProps": {"initialData": {"data": {
+            "product": product, "idml": idml,
+        }}}}
+    }
+    ld = {
+        "@type": "Product", "name": p["name"],
+        "brand": {"name": p["brand"]},
+        "offers": {"price": p["price"], "priceCurrency": p["currency"]},
+    }
+    return (
+        _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
+        + _main_block(p)
+        + f'<script type="application/ld+json">{json.dumps(ld)}</script>'
+        + f'<script id="__NEXT_DATA__" type="application/json">{json.dumps(next_data)}</script>'
+        + _FOOTER
+    )
+
+
+def _render_redux_detail(p: dict, url: str) -> str:
+    # 1.samsclub/parse_samsclub.py:214-222 + HTML fragments inside JSON (P3).
+    spec_table = "<table><tbody>" + "".join(
+        f"<tr><td>{s['name']}</td><td>{s['value']}</td></tr>"
+        for s in p["specifications"]
+    ) + "</tbody></table>"
+    short_desc = "<ul>" + "".join(f"<li>{f}</li>" for f in p["features"]) + "</ul>"
+    state = {
+        "cache": {"products": {p["product_id"]: {
+            "productId": p["product_id"],
+            "descriptors": {"name": p["name"], "shortDescription": short_desc,
+                            "longDescription": p["description"]},
+            "manufacturingInfo": {"brand": p["brand"], "specification": spec_table},
+            "skus": [{"onlineOffer": {"price": {
+                "finalPrice": {"amount": p["price"], "currency": p["currency"]},
+                "listPrice": {"amount": p["list_price"]},
+            }}}],
+            "reviewsAndRatings": {"avgRating": p["rating"],
+                                  "numReviews": p["total_reviews"],
+                                  "numRatings": p["total_ratings"]},
+            "category": {"path": p["categories"]},
+        }}},
+        "productImages": {p["product_id"]: {"images": [{"ImageUrl": u} for u in p["images"]]}},
+        "messages": [
+            {"key": "sidesheet.shipping.upsell.message", "value": "Free shipping over $35"},
+            {"key": "channelbanner.pickup.message", "value": "Pickup available"},
+        ],
+    }
+    return (
+        _chrome_head(p["name"],
+                     f'<link rel="canonical" href="{url}">')
+        + _main_block(p)
+        + f'<script id="tb-djs-wml-redux-state" type="application/json">{json.dumps(state)}</script>'
+        + _FOOTER
+    )
+
+
+def _render_nextprops_detail(p: dict, url: str) -> str:
+    # bedbathbeyond/parse_bedbathbeyond.py:42-49,102-109,199-218.
+    options = [
+        {"optionId": 1000 + k, "name": v["value"], "category": v["type"],
+         "imageId": 5000 + k, "isAvailable": v["available"]}
+        for k, v in enumerate(p["variants"])
+    ]
+    viewer_images = [
+        {"id": 5000 + k, "cdnPath": img}
+        for k, img in enumerate(p["images"][: len(options)])
+    ] + [{"id": 9000 + k, "cdnPath": img}
+         for k, img in enumerate(p["images"][len(options):])]
+    next_data = {"props": {"pageProps": {
+        "product": {
+            "id": p["product_id"], "title": p["name"], "brandName": p["brand"],
+            "price": {"amount": p["price"], "listAmount": p["list_price"],
+                      "currency": p["currency"]},
+            "description": p["description"],
+            "categories": [{"name": c} for c in p["categories"]],
+            "options": options,
+            "oViewerImages": viewer_images,
+            "specifications": p["specifications"],
+            "isInStock": p["in_stock"],
+        },
+        "initialPowerReviews": {
+            "ratingCounts": p["rating_hist"],
+            "reviewCount": p["total_reviews"],
+            "ratingCount": p["total_ratings"],
+        },
+    }}}
+    return (
+        _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
+        + _main_block(p)
+        + f'<script id="__NEXT_DATA__" type="application/json">{json.dumps(next_data)}</script>'
+        + _FOOTER
+    )
+
+
+def _render_inline_js_detail(p: dict, url: str) -> str:
+    # costco/parse_costco.py:47-64 (scalars), :288-300 (single-quoted arrays),
+    # :313-319 (base64 price), :160-200 (sibling-navigated Features/Dimensions).
+    b64_price = base64.b64encode(f"{p['price']:.2f}".encode()).decode()
+    b64_list = base64.b64encode(f"{p['list_price']:.2f}".encode()).decode()
+    products_js = json.dumps([{
+        "catalogId": p["product_id"], "name": p["name"],
+        "imageUrl": p["images"][0],
+    }]).replace('"', "'")
+    options_js = json.dumps(
+        [{"type": v["type"], "value": v["value"], "available": v["available"]}
+         for v in p["variants"]]
+    ).replace('"', "'")
+    inline = (
+        "var adobeProductData = {"
+        f"priceMax: '{p['price']:.2f}', priceMin: '{p['price']:.2f}', "
+        f"pid: '{p['product_id']}', sku: 'SKU{p['product_id']}', "
+        f"priceTotal: '{b64_price}', priceListTotal: '{b64_list}', "
+        f"cdn_url: '{p['images'][0]}'"
+        "};\n"
+        f"var products = {products_js};\n"
+        f"var options = {options_js};\n"
+        f"var itemDetailsList = ['{p['product_id']}'];"
+    )
+    feats = "".join(f"<li>{f}</li>" for f in p["features"])
+    dims = "".join(
+        f"<li>{s['name']}: {s['value']}</li>" for s in p["specifications"]
+    )
+    og = (
+        f'<meta property="og:title" content="{p["name"]}">'
+        f'<meta property="og:description" content="{p["description"]}">'
+        f'<link rel="canonical" href="{url}?ref=track">'
+    )
+    return (
+        _chrome_head(p["name"], og)
+        + '<main><article class="product-main">'
+        + f"<h1>{p['name']}</h1>"
+        + f'<div itemprop="brand">{p["brand"]}</div>'
+        + f'<span class="price">${p["price"]:.2f}</span>'
+        + f'<div class="description"><p>{p["description"]}</p></div>'
+        + f"<p>Features: includes the following</p><ul>{feats}</ul>"
+        + f"<p>Dimensions and Weight: see below</p><ul>{dims}</ul>"
+        + "</article></main>"
+        + f"<script>{inline}</script>"
+        + _FOOTER
+    )
+
+
+def _render_pixels_detail(p: dict, url: str) -> str:
+    # overstock/parse_overstock.py:79-110 (3 carved blobs + scalars),
+    # :182-189 (data-src images), :205-229 (sectionizer X1 description).
+    product_js = json.dumps({
+        "id": p["product_id"], "title": p["name"], "vendor": p["brand"],
+        "price": p["price"], "compare_at_price": p["list_price"],
+        "currency": p["currency"],
+        "rating": p["rating"], "reviews_count": p["total_reviews"],
+        "ratings_count": p["total_ratings"],
+        "available": p["in_stock"],
+    })
+    missing = json.dumps({"categories": p["categories"]})
+    desc_lines = [p["description"], "Features:"] + p["features"] + [
+        "Dimensions:",
+    ] + [f"{s['name']}: {s['value']}" for s in p["specifications"]]
+    desc_blob = json.dumps({"description": "\n".join(desc_lines)})
+    inline = (
+        "webPixelsManagerAPI = {};\n"
+        f"const missingAttributes = {missing}\n"
+        f"const scripts = {desc_blob}\n"
+        f"window.salesforce = {{datalayer: {{product: {product_js}}}}};\n"
+        f"var merchant_id = '{1000 + int(p['product_id']) % 97}';\n"
+        f"var api_key = 'ak_{p['product_id']}';\n"
+        f"var page_id = 'pdp-{p['product_id']}';"
+    )
+    imgs = "".join(
+        f'<li class="media-viewer__item"><img data-src="{u.split("https:")[-1]}" '
+        'src="data:image/gif;base64,R0lGOD"></li>'
+        for u in p["images"]
+    )
+    return (
+        _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
+        + _main_block(p)
+        + f'<ul class="media-viewer">{imgs}</ul>'
+        + f'<script id="web-pixels-manager-setup">{inline}</script>'
+        + _FOOTER
+    )
+
+
+def _render_escaped_component_detail(p: dict, url: str) -> str:
+    # bestbuy/parse_bestbuy_detai.py: double-escaped component JSON (:22-28),
+    # XPath DOM fields (:33-86), shop-specifications (:125-136),
+    # breadcrumbs (:75-83), Add to Cart in_stock (:70-71), dedup images (:46).
+    comp = {"app": {"upc": f"0{p['product_id']}8", "sku": p["product_id"],
+                    "productPrice": {"currentPrice": p["price"],
+                                     "regularPrice": p["list_price"]}}}
+    escaped = json.dumps(json.dumps(comp))[1:-1]  # double-escaped payload
+    shop_specs = {"specifications": {"categories": [{
+        "displayName": "General",
+        "specifications": [{"displayName": s["name"], "value": s["value"]}
+                           for s in p["specifications"]],
+    }]}}
+    crumbs = "".join(
+        f'<li class="crumb"><a href="/c/{c.lower()}">{c}</a></li>'
+        for c in ["Best Buyer"] + p["categories"]
+    )
+    # Duplicate first image twice: exercises order-preserving dedup (R8).
+    img_srcs = [p["images"][0]] + p["images"]
+    imgs = "".join(
+        f'<img class="gallery-image" src="{u};maxHeight=200;maxWidth=200">'
+        for u in img_srcs
+    )
+    button = ('<button class="add-to-cart-button">Add to Cart</button>'
+              if p["in_stock"] else
+              '<button class="sold-out">Sold Out</button>')
+    rating_html = (
+        f'<div class="ugc-ratings"><p class="visually-hidden">'
+        f'Rating {p["rating"]:.1f} out of 5 stars with {p["total_reviews"]} reviews'
+        "</p></div>"
+    )
+    inline = (
+        'window.initializer = {};'
+        f'initializer.initializeComponent({{"data": "{escaped}"}});'
+    )
+    return (
+        _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
+        + f'<ol class="breadcrumb-list">{crumbs}</ol>'
+        + '<main><article class="product-main">'
+        + f'<div class="sku-title"><h1>{p["name"]}</h1></div>'
+        + f'<div class="product-brand"><a>{p["brand"]}</a></div>'
+        + f'<div class="priceView-customer-price"><span>${p["price"]:,.2f}</span></div>'
+        + rating_html + button
+        + f'<div class="long-description">{p["description"]}</div>'
+        + imgs
+        + "</article></main>"
+        + f"<script>{inline}</script>"
+        + f'<script id="shop-specifications" type="application/json">{json.dumps(shop_specs)}</script>'
+        + _FOOTER
+    )
+
+
+def _render_webpack_detail(p: dict, url: str) -> str:
+    # prev/parse_wayfair.py:44-48 (assignment slice), :179-201 (semi-join),
+    # :87-90 (hi-res rewrite inputs).
+    all_options = [
+        {"option_id": 7000 + k, "name": v["value"], "category": v["type"]}
+        for k, v in enumerate(p["variants"])
+    ] + [{"option_id": 7900 + k, "name": f"Unused{k}", "category": "Color"}
+         for k in range(2)]
+    selected = [7000 + k for k in range(len(p["variants"]))]
+    entry = {
+        "application": {"props": {"productDetails": {
+            "sku": f"W{p['product_id']}", "name": p["name"],
+            "manufacturer": {"name": p["brand"]},
+            "price": {"customerPrice": {"display": f"${p['price']:,.2f}"},
+                      "listPrice": {"display": f"${p['list_price']:,.2f}"}},
+            "reviews": {"averageRating": p["rating"],
+                        "reviewCount": p["total_reviews"],
+                        "ratingCount": p["total_ratings"]},
+            "images": [u.replace("/p/", "/timg-h310-w310/p/") for u in p["images"]],
+            "options": all_options,
+            "selectedOptions": selected,
+            "description": p["description"],
+        }}}
+    }
+    inline = f'window["WEBPACK_ENTRY_DATA"] = {json.dumps(entry)};'
+    return (
+        _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
+        + _main_block(p)
+        + f'<input name="sku" value="W{p["product_id"]}">'
+        + "<script>var a=1;</script>"
+        + f"<script>{inline}</script>"
+        + "<script>var b=2;</script>"
+        + _FOOTER
+    )
+
+
+def _render_discover_detail(p: dict, url: str) -> str:
+    # prev/parse_tesco_html.py:29-37 (Apollo cache), :95-113 (reviews* key scan).
+    pid = p["product_id"]
+    cache = {
+        "ROOT_QUERY": {"typename": "Query"},
+        f"ProductType:{pid}": {
+            "id": pid, "title": p["name"], "brandName": p["brand"],
+            "price": {"actual": p["price"], "unitPrice": p["price"]},
+            "tpnb": f"0{pid}", "tpnc": f"1{pid}",
+            "description": p["features"],
+            "defaultImageUrl": p["images"][0],
+            "images": p["images"],
+            "packSize": [{"value": "1", "units": "EA"}],
+            "superDepartmentName": p["categories"][0],
+        },
+        f"reviewsData:ProductType:{pid}": {
+            "stats": {"overallRating": p["rating"],
+                      "noOfReviews": p["total_reviews"]},
+        },
+    }
+    return (
+        _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
+        + _main_block(p)
+        + f'<script type="application/discover+json">{json.dumps({"mfe-orchestrator": {"props": {"apolloCache": cache}}})}</script>'
+        + _FOOTER
+    )
+
+
+def _render_nextdata_serp(p: dict, url: str, idx: int) -> str:
+    # walmart/parse_walmart.py:36-71 — mix of Product / non-Product items (Q7).
+    r = _rng(idx * 7 + 3)
+    n_items = r.randint(4, 10)
+    items = []
+    for k in range(n_items):
+        sub = payload_for(idx * 1000 + k)
+        if k % 4 == 3:
+            items.append({"__typename": "AdPlaceholder", "adUnit": f"ad-{k}"})
+        else:
+            items.append({
+                "__typename": "Product",
+                "usItemId": sub["product_id"], "name": sub["name"],
+                "brand": sub["brand"],
+                "priceInfo": {"linePrice": {"price": sub["price"]}},
+                "averageRating": sub["rating"],
+                "numberOfReviews": sub["total_reviews"],
+                "canonicalUrl": f"/ip/{sub['product_id']}?athcpid=x",
+                "imageInfo": {"thumbnailUrl": sub["images"][0]},
+                "availabilityStatusV2": {"value": "IN_STOCK" if sub["in_stock"] else "OUT_OF_STOCK"},
+            })
+    search_term = f"{_NOUN[idx % len(_NOUN)].lower()}"
+    next_data = {"props": {"pageProps": {"initialData": {"searchResult": {
+        "itemStacks": [{"items": items, "count": n_items}],
+        "count": n_items * 3,
+    }}, "initialSearchQueryVariables": {"query": search_term, "page": 1}}}}
+    lis = "".join(
+        f"<li class='serp-card'><h3>{it.get('name', 'ad')}</h3></li>" for it in items
+    )
+    return (
+        _chrome_head(f"Search: {search_term}")
+        + f"<main><h1>Results for {search_term}</h1><ul class='serp'>{lis}</ul></main>"
+        + f'<script id="__NEXT_DATA__" type="application/json">{json.dumps(next_data)}</script>'
+        + _FOOTER
+    )
+
+
+def _render_css_serp(p: dict, url: str, idx: int) -> str:
+    # prev/parse_mercado.py:30-66 — no JSON carrier, split fraction/cents.
+    r = _rng(idx * 13 + 5)
+    n_items = r.randint(3, 8)
+    cards = []
+    for k in range(n_items):
+        sub = payload_for(idx * 1000 + k)
+        frac = int(sub["price"])
+        cents = int(round((sub["price"] - frac) * 100))
+        img = (f'<img src="data:image/gif;base64,R0" data-src="{sub["images"][0]}">'
+               if k % 2 else f'<img src="{sub["images"][0]}">')
+        cards.append(
+            '<li class="ui-search-layout__item">'
+            f'<a class="ui-search-link" href="https://www.mercadolibro.example.com/p/{sub["product_id"]}#origin=serp">'
+            f'<h2 class="ui-search-item__title">{sub["name"]}</h2></a>'
+            f'{img}'
+            '<span class="andes-money-amount">'
+            f'<span class="andes-money-amount__fraction">{frac:,}</span>'
+            f'<span class="andes-money-amount__cents">{cents:02d}</span></span>'
+            "</li>"
+        )
+    return (
+        _chrome_head("Listado")
+        + f'<main><ol class="ui-search-layout">{"".join(cards)}</ol></main>'
+        + _FOOTER
+    )
+
+
+def _render_pdf(p: dict, idx: int) -> bytes:
+    """Minimal valid-enough PDF with a FlateDecode text stream (north_star
+    PDF branch; absent in reference — SURVEY.md §7.6)."""
+    lines = [f"Report {idx}", p["name"], f"Brand: {p['brand']}",
+             f"Price: {p['price']:.2f}"]
+    ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for ln in lines:
+        esc = ln.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        ops.append(f"({esc}) Tj")
+        ops.append("0 -14 Td")
+    ops.append("ET")
+    content = "\n".join(ops).encode("latin-1")
+    comp = zlib.compress(content)
+    objs = []
+    objs.append(b"1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj")
+    objs.append(b"2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj")
+    objs.append(b"3 0 obj<</Type/Page/Parent 2 0 R/Contents 4 0 R>>endobj")
+    objs.append(
+        b"4 0 obj<</Length " + str(len(comp)).encode()
+        + b"/Filter/FlateDecode>>stream\n" + comp + b"\nendstream endobj"
+    )
+    out = [b"%PDF-1.4"]
+    offsets = []
+    pos = len(out[0]) + 1
+    for o in objs:
+        offsets.append(pos)
+        out.append(o)
+        pos += len(o) + 1
+    xref_pos = pos
+    xref = [b"xref", b"0 5", b"0000000000 65535 f "]
+    for off in offsets:
+        xref.append(f"{off:010d} 00000 n ".encode())
+    out += xref
+    out.append(b"trailer<</Size 5/Root 1 0 R>>")
+    out.append(b"startxref")
+    out.append(str(xref_pos).encode())
+    out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+def _render_error(idx: int) -> str:
+    """Blocked/broken page (walmart/walmart_detail_error_*.html analog)."""
+    r = _rng(idx * 31 + 11)
+    if r.getrandbits(1):
+        return ("<html><head><title>Access Denied</title></head><body>"
+                "<h1>Access Denied</h1><p>You don't have permission to "
+                "access this page.</p></body></html>")
+    # Truncated / malformed markup.
+    return "<html><body><div class='x'><p>Loading…<script>var q = {"
+
+
+def _filler_blocks(idx: int, n_blocks: int) -> str:
+    """Deterministic page-bloat: related-product link grids + prose blocks
+    (~1 KiB each) appended before the footer. Makes bench pages approach
+    real crawl-page sizes (0.4–1.8 MB in the reference fixtures) without
+    changing any extracted field."""
+    r = _rng(idx * 17 + 7)
+    out = ['<section class="related-products"><h2>Related products</h2>']
+    for b in range(n_blocks):
+        links = "".join(
+            f'<li><a href="/p/{r.randint(100000, 999999)}">'
+            f"{r.choice(_ADJ)} {r.choice(_NOUN)} {r.randint(100, 999)}</a></li>"
+            for _ in range(8)
+        )
+        out.append(f'<ul class="rel-grid">{links}</ul>')
+        out.append(f"<p>{_sentence(r, 40)}</p>")
+    out.append("</section>")
+    return "".join(out)
+
+
+def render_page(idx: int, filler: int = 0) -> bytes:
+    profile = profile_for(idx)
+    p = payload_for(idx)
+    url = url_for(idx)
+    if profile == "pdf":
+        return _render_pdf(p, idx)
+    if profile == "error":
+        return _render_error(idx).encode("utf-8")
+    if profile == "nextdata-detail":
+        html = _render_nextdata_detail(p, url)
+    elif profile == "redux-detail":
+        html = _render_redux_detail(p, url)
+    elif profile == "nextprops-detail":
+        html = _render_nextprops_detail(p, url)
+    elif profile == "inline-js-detail":
+        html = _render_inline_js_detail(p, url)
+    elif profile == "pixels-detail":
+        html = _render_pixels_detail(p, url)
+    elif profile == "escaped-component-detail":
+        html = _render_escaped_component_detail(p, url)
+    elif profile == "webpack-detail":
+        html = _render_webpack_detail(p, url)
+    elif profile == "discover-detail":
+        html = _render_discover_detail(p, url)
+    elif profile == "nextdata-serp":
+        html = _render_nextdata_serp(p, url, idx)
+    elif profile == "css-serp":
+        html = _render_css_serp(p, url, idx)
+    else:  # pragma: no cover
+        raise ValueError(profile)
+    if filler:
+        assert html.endswith(_FOOTER)
+        html = html[: -len(_FOOTER)] + _filler_blocks(idx, filler) + _FOOTER
+    return html.encode("utf-8")
+
+
+def page_record(idx: int, filler: int = 0) -> dict:
+    """One row of the canonical pages table (BASELINE.json input_hint)."""
+    return {
+        "url": url_for(idx),
+        "warc_ts": EPOCH + timedelta(seconds=idx * 37),
+        "html": render_page(idx, filler=filler),
+        "text": None,
+        "lang": "en" if idx % 20 else "es",
+    }
+
+
+def iter_pages(n: int, start: int = 0, filler: int = 0):
+    for i in range(start, start + n):
+        yield page_record(i, filler=filler)
+
+
+# --------------------------------------------------------------------------
+# Golden envelopes — computed from the payload, never by parsing.
+# --------------------------------------------------------------------------
+
+def golden_envelope(idx: int) -> Optional[dict]:
+    """Expected output envelope per page (None for pdf/error rows —
+    those are asserted via their own status paths)."""
+    profile = profile_for(idx)
+    p = payload_for(idx)
+    url = url_for(idx)
+    if profile in ("pdf", "error"):
+        return None
+
+    if profile == "nextdata-serp":
+        r = _rng(idx * 7 + 3)
+        n_items = r.randint(4, 10)
+        results = []
+        for k in range(n_items):
+            if k % 4 == 3:
+                continue
+            sub = payload_for(idx * 1000 + k)
+            results.append({
+                "id": sub["product_id"],
+                "name": sub["name"],
+                "brand": sub["brand"],
+                "price": sub["price"],
+                "rating": sub["rating"],
+                "total_reviews": sub["total_reviews"],
+                "url": f"https://www.walmarket.example.com/ip/{sub['product_id']}",
+                "image": sub["images"][0],
+                "in_stock": sub["in_stock"],
+            })
+        return {
+            "success": True,
+            "search": _NOUN[idx % len(_NOUN)].lower(),
+            "page": 1,
+            "total_results": n_items * 3,
+            "result_count": len(results),
+            "results": results,
+        }
+
+    if profile == "css-serp":
+        r = _rng(idx * 13 + 5)
+        n_items = r.randint(3, 8)
+        results = []
+        for k in range(n_items):
+            sub = payload_for(idx * 1000 + k)
+            frac = int(sub["price"])
+            cents = int(round((sub["price"] - frac) * 100))
+            results.append({
+                "name": sub["name"],
+                "price": float(f"{frac}.{cents:02d}"),
+                "url": f"https://www.mercadolibro.example.com/p/{sub['product_id']}",
+                "image": sub["images"][0],
+            })
+        return {
+            "success": True,
+            "result_count": len(results),
+            "results": results,
+        }
+
+    # Detail profiles share the canonical detail dict; per-profile field
+    # coverage differs where the carrier genuinely doesn't carry the field.
+    detail = {
+        "product_id": p["product_id"],
+        "name": p["name"],
+        "brand": p["brand"],
+        "price": p["price"],
+        "list_price": p["list_price"],
+        "currency": "USD",
+        "currency_symbol": "$",
+        "rating": p["rating"],
+        "total_ratings": p["total_ratings"],
+        "total_reviews": p["total_reviews"],
+        "description": p["description"],
+        "images": list(p["images"]),
+        "categories": list(p["categories"]),
+        "specifications": [dict(s) for s in p["specifications"]],
+        "variants": [
+            {"type": v["type"], "value": v["value"], "available": v["available"]}
+            for v in p["variants"]
+        ],
+        "in_stock": p["in_stock"],
+        "url": url,
+    }
+    if profile == "redux-detail":
+        detail["features"] = list(p["features"])
+        detail["shipping_info"] = "Free shipping over $35"
+        detail["pickup_info"] = "Pickup available"
+        detail["variants"] = None
+        detail["in_stock"] = None
+    elif profile == "nextprops-detail":
+        hist = p["rating_hist"]
+        tot = sum(hist.values())
+        wsum = sum(int(k) * v for k, v in hist.items())
+        detail["rating"] = (wsum / tot) if tot else 0
+        # variant-image equi-join (R2): option.imageId -> oViewerImages.id
+        detail["variants"] = [
+            {"type": v["type"], "value": v["value"], "available": v["available"],
+             "image": p["images"][k] if k < len(p["images"]) else None}
+            for k, v in enumerate(p["variants"])
+        ]
+    elif profile == "inline-js-detail":
+        detail["sku"] = f"SKU{p['product_id']}"
+        detail["features"] = list(p["features"])
+        detail["categories"] = None
+        detail["rating"] = None
+        detail["total_ratings"] = None
+        detail["total_reviews"] = None
+        detail["in_stock"] = None
+        detail["variants"] = [
+            {"type": "Color", "value": v["value"], "available": v["available"]}
+            for v in p["variants"]
+        ]
+        detail["images"] = [p["images"][0]]
+    elif profile == "pixels-detail":
+        detail["features"] = list(p["features"])
+        detail["specifications"] = [dict(s) for s in p["specifications"]]
+        detail["variants"] = None
+        detail["product_id"] = p["product_id"]
+    elif profile == "escaped-component-detail":
+        detail["upc"] = f"0{p['product_id']}8"
+        detail["sku"] = p["product_id"]
+        detail["categories"] = list(p["categories"])  # breadcrumbs minus site root
+        detail["variants"] = None
+        detail["rating"] = float(f"{p['rating']:.1f}")
+        detail["total_ratings"] = None
+    elif profile == "webpack-detail":
+        detail["sku"] = f"W{p['product_id']}"
+        detail["product_id"] = f"W{p['product_id']}"
+        detail["categories"] = None
+        detail["specifications"] = None
+        detail["images"] = [u.replace("/p/", "/resize-h800-w800/p/")
+                            for u in p["images"]]
+        detail["variants"] = [
+            {"type": v["type"], "value": v["value"], "available": True}
+            for v in p["variants"]
+        ]
+        detail["in_stock"] = None
+    elif profile == "discover-detail":
+        detail["description"] = None
+        detail["tpnb"] = f"0{p['product_id']}"
+        detail["tpnc"] = f"1{p['product_id']}"
+        detail["features"] = list(p["features"])
+        detail["pack_size"] = "1 EA"
+        detail["categories"] = [p["categories"][0]]
+        detail["list_price"] = None
+        detail["variants"] = None
+        detail["specifications"] = None
+        detail["in_stock"] = None
+        detail["total_ratings"] = None
+    elif profile == "nextdata-detail":
+        detail["variants"] = [
+            {"type": "Color", "value": v["value"], "available": v["available"]}
+            for v in p["variants"]
+        ]
+
+    return {
+        "success": True,
+        "url": url,
+        "result_count": 1,
+        "detail": detail,
+        "remaining_credits": None,
+    }

@@ -1,0 +1,176 @@
+"""Unit tests: carriers, jsonpath, field transforms, boilerplate, pdf."""
+
+from __future__ import annotations
+
+import json
+
+from html_parser_spark.htmlkit.tokenizer import tokenize
+from html_parser_spark.extract import carriers as C
+from html_parser_spark.extract import fields as F
+from html_parser_spark.extract import boilerplate, pdfkit
+from html_parser_spark.extract.jsonpath import get_from_json, walk_first
+
+
+class TestJsonPath:
+    OBJ = {"a": {"b": [{"c": 1}, {"c": 2}]}, "n": None}
+
+    def test_hit(self):
+        assert get_from_json(self.OBJ, ["a", "b", 1, "c"]) == 2
+
+    def test_negative_index(self):
+        assert get_from_json(self.OBJ, ["a", "b", -1, "c"]) == 2
+
+    def test_misses_return_none(self):
+        assert get_from_json(self.OBJ, ["a", "x"]) is None
+        assert get_from_json(self.OBJ, ["a", "b", 9, "c"]) is None  # bounds-checked
+        assert get_from_json(self.OBJ, ["a", "b", "c"]) is None  # str on list
+        assert get_from_json(self.OBJ, ["n", "x"]) is None
+        assert get_from_json(None, ["a"]) is None
+
+    def test_walk_first(self):
+        assert walk_first(self.OBJ, [["a", "x"], ["a", "b", 0, "c"]]) == 1
+
+
+class TestCarriers:
+    def _scripts(self, html):
+        return C.collect_scripts(tokenize(html))
+
+    def test_script_by_id_and_type(self):
+        s = self._scripts(
+            '<script id="x">1</script><script type="t">2</script>')
+        assert C.script_by_id(s, "x") == "1"
+        assert C.script_by_type(s, "t") == ["2"]
+        assert C.script_by_id(s, "nope") is None
+
+    def test_script_containing_first_match(self):
+        s = self._scripts("<script>aaa</script><script>needle 1</script>"
+                          "<script>needle 2</script>")
+        assert C.script_containing(s, "needle") == "needle 1"  # R9 break
+
+    def test_webpack_slice(self):
+        s = self._scripts(
+            '<script>window["WEBPACK_ENTRY_DATA"] = {"k": [1,2]};</script>')
+        assert C.webpack_entry_data(s) == {"k": [1, 2]}
+
+    def test_regex_json_quote_normalize(self):
+        v = C.regex_json("var options = [{'a': 1}];",
+                         r"var options\s*=\s*(\[.*?\]);", normalize_quotes=True)
+        assert v == [{"a": 1}]
+
+    def test_double_escaped(self):
+        payload = {"upc": "123", "price": 9.99}
+        escaped = json.dumps(json.dumps(payload))[1:-1]
+        assert C.unescape_embedded_json(escaped) == payload
+
+    def test_bad_json_returns_none(self):
+        s = self._scripts('<script id="x">{broken</script>')
+        assert C.json_script_by_id(s, "x") is None
+
+
+class TestFieldTransforms:
+    def test_parse_money(self):
+        assert F.parse_money("$1,299.99") == 1299.99
+        assert F.parse_money("1088.59") == 1088.59
+        assert F.parse_money("$12") == 12.0
+        assert F.parse_money("USD 1,000") == 1000.0
+        assert F.parse_money("no digits") is None
+        assert F.parse_money(None) is None
+
+    def test_parse_int(self):
+        assert F.parse_int("(1,234)") == 1234
+        assert F.parse_int("56 reviews") == 56
+
+    def test_strip_query_and_prefix(self):
+        assert F.strip_query("https://x/p?a=1#f") == "https://x/p"
+        assert F.prefix_url("https://b.com", "/x") == "https://b.com/x"
+        assert F.prefix_url("", "//img/x.jpg") == "https://img/x.jpg"
+        assert F.prefix_url("https://b.com", "https://o.com/y") == "https://o.com/y"
+
+    def test_hires_rewrite(self):
+        assert F.hires_image("https://i/timg-h310-w310/p/1.jpg") == \
+            "https://i/resize-h800-w800/p/1.jpg"
+        assert F.hires_image("https://i/compr-r50/p.jpg") == \
+            "https://i/compr-r85/p.jpg"
+
+    def test_b64(self):
+        import base64
+        assert F.decode_b64(base64.b64encode(b"12.34").decode()) == "12.34"
+        assert F.decode_b64("!!!") is None
+
+    def test_spec_table_fragment(self):
+        dom = tokenize("<table><tr><td>Color:</td><td>Red</td></tr>"
+                       "<tr><td>Size</td><td>XL</td></tr></table>")
+        assert F.parse_spec_table(dom) == [
+            {"name": "Color", "value": "Red"},
+            {"name": "Size", "value": "XL"},
+        ]
+
+    def test_ul_fragment(self):
+        dom = tokenize("<ul><li> a </li><li>b<li>c</ul>")
+        assert F.parse_ul(dom) == ["a", "b", "c"]
+
+    def test_sectionizer(self):
+        lines = ["intro one", "Features:", "f1", "f2", "Dimensions:", "W: 3"]
+        b = F.sectionize_lines(
+            lines, {"features:": "features", "dimensions:": "dimensions"})
+        assert b["description"] == ["intro one"]
+        assert b["features"] == ["f1", "f2"]
+        assert b["dimensions"] == ["W: 3"]
+
+    def test_weighted_rating(self):
+        assert F.weighted_rating({"5": 1, "1": 1}) == 3.0
+        assert F.weighted_rating({}) == 0
+        assert F.weighted_rating(None) == 0
+
+    def test_dedup_preserves_order(self):
+        assert F.dedup_preserve_order(["b", "a", "b", "c", "a"]) == ["b", "a", "c"]
+
+
+class TestBoilerplate:
+    def test_strips_chrome_keeps_content(self):
+        html = (
+            "<nav><ul><li><a href='/'>Home</a></li><li><a href='/d'>Deals "
+            "and many other things</a></li></ul></nav>"
+            "<main><p>This is the long main article content of the page, "
+            "talking about useful durable quality things at length.</p>"
+            "<p>Second long paragraph with plenty of descriptive text to "
+            "stay above the content threshold.</p></main>"
+            "<footer><a href='/about'>About our great company</a> "
+            "<a href='/privacy'>Privacy and legal information page</a></footer>"
+        )
+        mt = boilerplate.main_text(tokenize(html))
+        assert "main article content" in mt
+        assert "Second long paragraph" in mt
+        assert "Home" not in mt and "Privacy" not in mt
+
+    def test_link_density_filter(self):
+        html = ("<div><a href='x'>A long linky line of nothing but anchor "
+                "text that should be dropped entirely</a></div>"
+                "<div>A long plain prose line that easily clears the "
+                "twenty-five char bar.</div>")
+        mt = boilerplate.main_text(tokenize(html))
+        assert "plain prose" in mt and "anchor text" not in mt
+
+
+class TestPdf:
+    def test_roundtrip(self):
+        from html_parser_spark.sources import synth
+        idx = 48  # profile_for(48) == 'pdf'
+        assert synth.profile_for(idx) == "pdf"
+        data = synth.render_page(idx)
+        assert pdfkit.is_pdf(data)
+        text = pdfkit.extract_pdf_text(data)
+        p = synth.payload_for(idx)
+        assert f"Report {idx}" in text
+        assert p["name"] in text
+        assert f"Price: {p['price']:.2f}" in text
+
+    def test_escapes(self):
+        import zlib
+        content = b"BT (a\\(b\\)c \\\\ \\110i) Tj ET"
+        comp = zlib.compress(content)
+        pdf = (b"%PDF-1.4\nstream\n" + comp + b"\nendstream\n")
+        assert pdfkit.extract_pdf_text(pdf) == "a(b)c \\ Hi"
+
+    def test_not_pdf(self):
+        assert not pdfkit.is_pdf(b"<html>")

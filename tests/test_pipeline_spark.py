@@ -1,0 +1,113 @@
+"""End-to-end Spark pipeline tests: golden envelopes + byte-identical text,
+error routing, metrics, snapshot resume (SURVEY.md §5.2 items 1, 4, 5)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from html_parser_spark.job import pipeline as P
+from html_parser_spark.sources import synth
+
+from .oracle import oracle_text
+
+N_PAGES = 150
+
+
+@pytest.fixture(scope="module")
+def extracted_rows(spark):
+    pages = P.synthesize_pages(spark, N_PAGES, partitions=4)
+    ext = P.extract_pages(pages, partitions=4)
+    rows = {r["url"]: r for r in ext.collect()}
+    assert len(rows) == N_PAGES
+    return rows
+
+
+def test_envelopes_match_goldens(extracted_rows):
+    checked = 0
+    for idx in range(N_PAGES):
+        golden = synth.golden_envelope(idx)
+        if golden is None:
+            continue
+        row = extracted_rows[synth.url_for(idx)]
+        assert row["status"] == "ok", (idx, row["error"])
+        assert json.loads(row["envelope"]) == golden, idx
+        checked += 1
+    assert checked > 100
+
+
+def test_text_byte_identical_vs_oracle(extracted_rows):
+    for idx in range(N_PAGES):
+        profile = synth.profile_for(idx)
+        if profile == "pdf":
+            continue
+        html = synth.render_page(idx).decode("utf-8", errors="replace")
+        row = extracted_rows[synth.url_for(idx)]
+        assert row["text"] == oracle_text(html), idx
+
+
+def test_pdf_branch(extracted_rows):
+    idx = 48
+    assert synth.profile_for(idx) == "pdf"
+    row = extracted_rows[synth.url_for(idx)]
+    assert row["profile"] == "pdf" and row["status"] == "ok"
+    assert f"Report {idx}" in row["text"]
+
+
+def test_error_pages_never_fail_job(extracted_rows):
+    for idx in (49, 99, 149):
+        row = extracted_rows[synth.url_for(idx)]
+        assert row["status"] in ("no_rule", "error")
+
+
+def test_boilerplate_main_text_strips_chrome(extracted_rows):
+    idx = 0
+    row = extracted_rows[synth.url_for(idx)]
+    mt = row["main_text"]
+    p = synth.payload_for(idx)
+    assert p["description"].split(".")[0] in mt
+    assert "Privacy Policy" not in mt
+    assert "© 2025 Example Retail Group" not in mt
+
+
+def test_metrics_side_table(spark):
+    pages = P.synthesize_pages(spark, 100, partitions=4)
+    ext = P.extract_pages(pages, partitions=4)
+    m = {(r["profile"], r["status"]): r["n_docs"]
+         for r in P.metrics_from_extracted(ext).collect()}
+    assert sum(m.values()) == 100
+    assert m.get(("pdf", "ok")) == 2
+    ok = sum(v for (p, s), v in m.items() if s == "ok")
+    assert ok >= 96
+
+
+def test_snapshot_resume_idempotent(spark, tmp_path):
+    table = str(tmp_path / "extracted")
+    pages = P.synthesize_pages(spark, 60, partitions=4)
+
+    # First run: only the first 30 urls (simulated partial run).
+    first = pages.limit(30)
+    P.write_snapshot(P.extract_pages(first, partitions=2), table, "run1")
+
+    # Resume: anti-join must leave exactly the other 30.
+    remaining = P.resume_remaining(pages, table)
+    assert remaining.count() == 30
+    P.write_snapshot(P.extract_pages(remaining, partitions=2), table, "run2")
+
+    final = P.committed_table(spark, table)
+    assert final.count() == 60
+    assert final.select("url").distinct().count() == 60  # no dupes
+
+    # Re-resume after everything is committed: nothing left, plan is a no-op.
+    assert P.resume_remaining(pages, table).count() == 0
+    snaps = P.committed_snapshots(table)
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent"] == 1
+    assert sum(s["rows"] for s in snaps) == 60
+
+
+def test_host_salted_partitioning_runs(spark):
+    pages = P.synthesize_pages(spark, 40, partitions=2)
+    out = P.extract_pages(pages, partitions=4, host_salted=True, salt=4)
+    assert out.count() == 40
