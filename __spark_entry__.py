@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from html_parser_spark.functions import textops, vecops
+from html_parser_spark.functions import dedup, textops, vecops
 from html_parser_spark.job import pipeline as P
 
 
@@ -187,6 +187,35 @@ def _q_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash16("text").alias("simhash"))
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs)
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 0.35 ≈ p99.9 of the synthetic corpus' pairwise cosine (its max is ~0.5:
+    # no planted dups), so the threshold branch actually emits pairs here.
+    emb = _t(spark, sf_dir, "embeddings")
+    return vecops.near_dup_pairs(emb, threshold=0.35)
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    return (vecops.lsh_bucketed_topk(q, emb, k=5)
+            .select("query_id", "neighbor_id", "rank"))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
@@ -208,6 +237,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _q_json_props,
         # training-data pipeline ops
         "exact_dedup": _q_exact_dedup,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ann_lsh_topk": _q_ann_lsh_topk,  # approximate by design → rows-only
         "token_stats": _q_token_stats,
         "langid": _q_langid,
         "quality_score": _q_quality,
@@ -222,6 +256,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _EN = "|".join(textops.EN_STOPWORDS)
 _ES = "|".join(textops.ES_STOPWORDS)
+
+# Char-shingle expression shared by shingle_count / minhash / jaccard oracles
+# (textops.char_shingles twin: width 16, stride 8, distinct).
+_SHINGLES = """list_distinct(list_transform(
+    range(1, GREATEST(length(text) - 15, 1) + 1, 8),
+    i -> substring(text, i, 16)))"""
+
+# SimHash bit votes (dedup.simhash16 twin): bit b set iff tokens whose
+# md5 hex digit b is in [8,f] are the majority.
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(toks, t -> contains('89abcdef', "
+    f"substring(md5(t), {b}, 1)))) >= len(toks) "
+    f"THEN {1 << (b - 1)} ELSE 0 END)"
+    for b in range(1, 17)
+)
+
+_PAIR_COSINE = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+                "CAST(b.embedding AS DOUBLE[]))")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -304,6 +356,61 @@ def oracle_sql() -> dict[str, str]:
                                   / GREATEST(length(text), 1)) * 10, 1.0)),
                    4) AS quality
             FROM documents
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH sh AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
+            sig AS (
+              SELECT doc_id,
+                     list_transform(range(0, 16),
+                         j -> list_min(list_transform(shs,
+                                  s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
+              FROM sh),
+            bands AS (
+              SELECT doc_id, b,
+                     md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS band_key
+              FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+                        AS DOUBLE) / 16.0 AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b
+        """,
+        "simhash": rf"""
+            WITH tok AS (SELECT doc_id,
+                                list_distinct(regexp_extract_all(lower(text), '\w+')) AS toks
+                         FROM documents)
+            SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM tok
+        """,
+        "jaccard_pairs": f"""
+            WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            rare AS (SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS df
+                                     FROM sh GROUP BY sh) WHERE df <= 50),
+            shr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             COUNT(*) AS n_common
+                      FROM shr a JOIN shr b
+                        ON a.sh = b.sh AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(n_common AS DOUBLE)
+                         / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = inter.doc_a
+            JOIN sizes nb ON nb.doc_id = inter.doc_b
+            WHERE ROUND(CAST(n_common AS DOUBLE)
+                        / (na.n_sh + nb.n_sh - n_common), 6) >= 0.1
+        """,
+        "embedding_near_dup": f"""
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   ROUND({_PAIR_COSINE}, 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND({_PAIR_COSINE}, 6) >= 0.35
         """,
         "shingle_count": """
             SELECT doc_id,

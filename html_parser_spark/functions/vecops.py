@@ -10,7 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket"]
+__all__ = ["dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket",
+           "near_dup_pairs", "lsh_bucketed_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -47,6 +48,55 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             # is reproducible across engines/float paths.
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs baseline).
+
+    Cosine is rounded to 6 decimals *before* the threshold compare so the
+    cut is reproducible across engines. This is the correctness baseline;
+    at crawl scale use :func:`lsh_bucketed_topk`'s bucket join instead of
+    the O(n²) product (candidate generation on the bucket key, then this
+    exact cosine only within buckets)."""
+    a = corpus.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )
+
+
+def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                      n_bits: int = 8, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Approximate NN: join queries to corpus rows in the SAME LSH bucket
+    only, then exact-cosine rank within the bucket. The bucket id is a key,
+    so this is a shuffle-on-key equi-join — the 100 TB path where the
+    brute-force cross product is impossible. Recall < 1.0 by construction
+    (driver records rows-only for this query)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       lsh_bucket(F.col(vec_col), n_bits).alias("bucket"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"),
+                      lsh_bucket(F.col(vec_col), n_bits).alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+                .alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))

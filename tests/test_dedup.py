@@ -1,0 +1,97 @@
+"""Semantics tests for the near-dup family (functions/dedup.py, vecops):
+controlled corpora with known duplicates — planted near-dups must surface,
+unrelated docs must not pair."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from html_parser_spark.functions import dedup, vecops
+
+BASE = ("the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the tall mountains and the river flows gently "
+        "through the quiet green valley toward the distant sea")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact dup of 0
+        (2, BASE.replace("quick", "rapid")),         # near dup of 0
+        (3, "completely different content about spark jobs and parquet "
+            "files with arrow batches and shuffle partitions everywhere"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_exact_dup_pairs(docs):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard
+             for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert pairs.get((0, 1)) == 1.0          # identical → full signature match
+    assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_near_dup_detected(docs):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard
+             for r in dedup.minhash_lsh_pairs(docs).collect()}
+    # one-word edit shares most shingles → banded LSH must catch it
+    assert pairs.get((0, 2), 0.0) >= 0.5
+
+
+def test_simhash_identical_and_distinct(spark, docs):
+    got = {r.doc_id: r.simhash
+           for r in docs.select("doc_id",
+                                dedup.simhash16("text").alias("simhash")).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[3]
+    assert 0 <= got[0] < 2 ** 16
+    # pure-python twin of the bit rule for doc 3 (distinct lowercase \w+ tokens)
+    import re
+    toks = sorted(set(re.findall(r"\w+", docs.collect()[3].text.lower())))
+    expect = 0
+    for b in range(16):
+        votes = sum(1 for t in toks
+                    if hashlib.md5(t.encode()).hexdigest()[b] in "89abcdef")
+        if 2 * votes >= len(toks):
+            expect |= 1 << b
+    assert got[3] == expect
+
+
+def test_jaccard_pairs_values(docs):
+    rows = {(r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.jaccard_pairs(docs, max_df=10).collect()}
+    assert rows[(0, 1)] == 1.0
+    assert 0.3 <= rows[(0, 2)] < 1.0
+    assert not any(3 in p for p in rows)
+
+
+def test_embedding_near_dup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # ~same direction as 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (3, [0.0, 0.0, 0.7, 0.7]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+               .select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    pairs = {(r.doc_a, r.doc_b) for r in vecops.near_dup_pairs(emb, 0.9).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_lsh_bucketed_topk_subset_of_exact(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+               .select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    q = emb.where(F.col("vec_id") < 3)
+    approx = vecops.lsh_bucketed_topk(q, emb, k=5).collect()
+    # every returned neighbor shares the query's bucket and is ranked 1..k
+    assert all(1 <= r.rank <= 5 for r in approx)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in vecops.brute_force_topk(q, emb, k=60).collect()}
+    assert all((r.query_id, r.neighbor_id) in exact for r in approx)
