@@ -20,8 +20,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from html_parser_spark.functions import dedup, textops, vecops
+from html_parser_spark.functions import dedup, mediaops, textops, vecops
 from html_parser_spark.job import pipeline as P
+from html_parser_spark.sources.media import media_from_documents
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -216,6 +217,14 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", "rank"))
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → Pandas-UDF byte features.
+    Payloads are md5-hex fakes derived from doc_id, so the SQL oracle can
+    recompute every feature — the Arrow binary round-trip is what's tested."""
+    docs = _t(spark, sf_dir, "documents")
+    return mediaops.extract_media_features(media_from_documents(docs))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
@@ -247,6 +256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "shingle_count": _q_shingles,
         "cosine_topk": _q_cosine_topk,
+        # multimodal plumbing
+        "media_features": _q_media_features,
     }
 
 
@@ -417,6 +428,19 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(list_transform(
                        range(1, GREATEST(length(text) - 15, 1) + 1, 8),
                        i -> substring(text, i, 16)))) AS n_shingles
+            FROM documents
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(32 * (doc_id % 4 + 1) AS INT) AS n_bytes,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS header,
+                   md5(repeat(md5(CAST(doc_id AS VARCHAR)),
+                              CAST(doc_id % 4 + 1 AS INT))) AS checksum,
+                   CAST(16 * (doc_id % 64 + 1) AS INT) AS width,
+                   CAST(16 * (doc_id % 48 + 1) AS INT) AS height
             FROM documents
         """,
         "cosine_topk": """

@@ -61,7 +61,9 @@ def _timed(df_factory) -> float:
 
 
 def corpus_path() -> str:
-    return os.path.join(BENCH_DIR, f"pages_n{N_PAGES}_f{FILLER}")
+    from html_parser_spark.sources.synth import PROFILES
+    # Version the corpus by profile-mix so renderer changes invalidate it.
+    return os.path.join(BENCH_DIR, f"pages_p{len(PROFILES)}_n{N_PAGES}_f{FILLER}")
 
 
 def ensure_corpus(spark) -> str:
@@ -127,19 +129,26 @@ def main() -> None:
     }
 
     if scaling:
+        # Two N→4N pairs: 2→8 and 8→32 cores. On a single box the 32-thread
+        # level is bounded by shared memory bandwidth / turbo-frequency drop
+        # (multiprocessing ceiling measured ~0.64 on this host — see
+        # BASELINE.md), an artifact real N→4N *executor* scaling doesn't
+        # have; 2→8 is the hardware-fair proxy.
         spark.stop()
         levels = {}
-        for cores in (8, 32):
+        for cores in (2, 8, 32):
             s = _session(cores)
             s.sparkContext.setLogLevel("ERROR")
             dt, _ = run_extract(s, path)
             levels[str(cores)] = {"sec": round(dt, 3),
                                   "docs_per_sec": round(N_PAGES / dt, 1)}
             s.stop()
+        t2 = levels["2"]["docs_per_sec"]
         t8 = levels["8"]["docs_per_sec"]
         t32 = levels["32"]["docs_per_sec"]
         result["scaling"] = {
             "levels": levels,
+            "efficiency_2_to_8": round(t8 / (4 * t2), 3),
             "efficiency_8_to_32": round(t32 / (4 * t8), 3),
         }
     print(json.dumps(result))

@@ -16,7 +16,8 @@ from ..htmlkit.tokenizer import FlatDOM, TEXT
 from ..htmlkit import selectors as S
 
 __all__ = [
-    "parse_money", "parse_int", "strip_query", "prefix_url", "collapse_ws",
+    "parse_money", "parse_money_triple", "parse_int", "strip_query",
+    "prefix_url", "collapse_ws",
     "hires_image", "parse_spec_table", "parse_kv_table", "parse_ul",
     "sectionize_lines", "weighted_rating", "dedup_preserve_order",
 ]
@@ -38,6 +39,21 @@ def parse_money(s: Optional[str]) -> Optional[float]:
         return float(m.group(0).replace(",", ""))
     except ValueError:
         return None
+
+
+_SYMBOL_CCY = {"$": "USD", "€": "EUR", "£": "GBP", "¥": "JPY"}
+
+
+def parse_money_triple(s: Optional[str]) -> tuple:
+    """T5 full form: the reference's external ``parse_money`` util returns
+    (amount, currency ISO, symbol) (walmart/parse_walmart-2.py:8,45 —
+    module ``utils.parsers`` is absent from the repo; re-specified per
+    SURVEY.md §2.5 T5)."""
+    if s is None:
+        return (None, None, None)
+    amount = parse_money(s)
+    symbol = next((c for c in s if c in _SYMBOL_CCY), None)
+    return (amount, _SYMBOL_CCY.get(symbol), symbol)
 
 
 def parse_int(s: Optional[str]) -> Optional[int]:

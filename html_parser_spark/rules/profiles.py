@@ -531,18 +531,185 @@ def extract_css_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
     }
 
 
+# -- ldjson-detail (walmart/parse_walmart-2.py parse_detail) -----------------
+
+def extract_ldjson_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    blobs = C.json_scripts_by_type(scripts, "application/ld+json")
+    ld = blobs[0] if blobs and isinstance(blobs[0], dict) else None
+    if ld is None or "brand" not in ld:
+        return None
+    name_n = S.select_one(dom, 'h1[itemprop="name"]')
+    # T5 triple via parse_money (utils.parsers re-spec), T13 subscription.
+    price_n = (S.select_one(dom, 'span[itemprop="price"]')
+               or S.select_one(dom, "span.w_iUH7"))  # T15 coalesce (:39)
+    price_text = dom.node_text(price_n).strip() if price_n is not None else None
+    price_word = price_text.split()[-1] if price_text else None
+    price, currency, symbol = F.parse_money_triple(price_word)
+    # Categories as {name, url} pairs with T10 prefix (:31-33).
+    categories = []
+    for a in S.select(dom, "ol.w_4HBV li a"):
+        categories.append({
+            "name": F.collapse_ws(dom.node_text(a)),
+            "url": F.prefix_url("https://www.walmarty.example.com",
+                                dom.attr(a, "href")),
+        })
+    # Images: media-thumbnail imgs, ?query strip (:36).
+    images = []
+    for d in S.select(dom, 'div[data-testid="media-thumbnail"]'):
+        for i in dom.iter_descendants(d):
+            if dom.tags[i] == "img" and dom.attr(i, "src"):
+                images.append(F.strip_query(dom.attr(i, "src")))
+    agg = ld.get("aggregateRating") or {}
+    # Top reviews with date reformat %B %d, %Y → %Y-%m-%d (T7, :70).
+    top_reviews = []
+    for rv in ld.get("review") or []:
+        dt = rv.get("datePublished")
+        if dt:
+            from datetime import datetime
+            try:
+                dt = datetime.strptime(dt, "%B %d, %Y").strftime("%Y-%m-%d")
+            except ValueError:
+                pass
+        top_reviews.append({
+            "review_title": rv.get("name"),
+            "review_text": rv.get("reviewBody"),
+            "rating": gj(rv, ["reviewRating", "ratingValue"]),
+            "date": dt,
+            "reviewer_name": gj(rv, ["author", "name"]),
+        })
+    detail = {
+        "product_id": ld.get("sku"),
+        "name": (F.collapse_ws(dom.node_text(name_n))
+                 if name_n is not None else None),
+        "brand": gj(ld, ["brand", "name"]),
+        "price": price,
+        "list_price": None,
+        "currency": currency,
+        "currency_symbol": symbol,
+        "rating": gj(agg, ["ratingValue"]),
+        "total_ratings": gj(agg, ["ratingCount"]),
+        "total_reviews": gj(agg, ["reviewCount"]),
+        "description": ld.get("description"),
+        "images": images,
+        "categories": categories or None,
+        "specifications": None,
+        "variants": None,
+        "in_stock": gj(ld, ["offers", "availability"]) == "InStock",
+        "url": _canonical_url(dom, url),
+        "is_subscription": bool(price_text and "month" in price_text),  # T13
+        "top_reviews": top_reviews or None,
+    }
+    return _envelope(detail["url"], detail)
+
+
+# -- webpack-serp (prev/parse_wayfair_category.py) ---------------------------
+
+def extract_webpack_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    entry = C.webpack_entry_data(scripts)
+    grid = gj(entry, ["application", "props", "browse", "browse_grid_objects"])
+    if grid is None:
+        return None
+    img_n = S.select_one(dom, 'img[data-hb-id="FluidImage"]')
+    base_src = dom.attr(img_n, "src") if img_n is not None else None
+    results = []
+    for g in grid:
+        image_url = None
+        ireid = gj(g, ["image_data", "ireid"])
+        if ireid is not None and base_src:
+            # T11: thumbnail-id substitution + hi-res rewrite (:46-50).
+            ireid = str(ireid)
+            image_url = re.sub(r"/\d+/\d+/", f"/{ireid[:4]}/{ireid}/", base_src)
+            image_url = re.sub(r"resize-h\d+(?:-w\d+)?", "resize-h800-w800",
+                               image_url)
+        pricing = gj(g, ["raw_pricing_data", "pricing"])
+        results.append({
+            "sku": g.get("sku"),
+            "url": g.get("url"),
+            "name": g.get("product_name"),
+            "manufacturer": g.get("manufacturer"),
+            "image_url": image_url,
+            "free_ship_text": g.get("free_ship_text"),
+            "average_overall_rating": g.get("average_overall_rating"),
+            "review_count": g.get("review_count"),
+            "features": g.get("features_array"),
+            "romance_copy": g.get("romance_copy"),
+            "customer_price": gj(pricing, ["customerPrice", "quantityPrice", "value"]),
+            "everyday_price": gj(pricing, ["everydayPrice", "quantityPrice", "value"]),
+            "list_price": gj(pricing, ["listPrice", "quantityPrice", "value"]),
+            "currency": gj(pricing, ["customerPrice", "quantityPrice", "currency"]),
+        })
+    return {
+        "success": True,
+        "result_count": len(results),  # R5
+        "results": results,
+    }
+
+
+# -- apijson-serp (homedepot/parse_homedepot_json.py) ------------------------
+
+def extract_apijson_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    """Raw JSON body (S2 source: site API dump used as the page payload)."""
+    if scripts:
+        return None
+    from ..htmlkit.tokenizer import TEXT
+    raw = "".join(dom.texts[i] or "" for i in range(len(dom))
+                  if dom.tags[i] == TEXT).strip()
+    if not raw.startswith(("{", "[")):
+        return None
+    try:
+        data = json.loads(raw)
+    except ValueError:
+        return None
+    if not isinstance(data, dict) or "products" not in data:
+        return None
+    results = []
+    for prod in data.get("products") or []:
+        results.append({
+            "id": prod.get("code"),
+            "name": prod.get("name"),
+            "model_no": prod.get("modelNumber"),
+            "url": F.prefix_url("https://www.homestation.example.com",
+                                prod.get("url")),  # T10
+            "brand": prod.get("brand"),
+            "thumbnails": [prod.get("imageUrl")],
+            "price": gj(prod, ["pricing", "displayPrice", "value"]),
+            "price_reduced": None,
+            "currency": gj(prod, ["pricing", "displayPrice", "currencyIso"]),
+            "rating": gj(prod, ["productRating", "averageRating"]),
+            "total_reviews": gj(prod, ["productRating", "totalReviews"]),
+            "favorite_count": None,
+            "inventory_quantity": None,
+        })
+    return {
+        "success": True,
+        "store_no": None,
+        "zipcode": None,
+        "search": gj(data, ["searchReport", "currentKeyword"]),
+        "page": None,
+        "total_results": gj(data, ["searchReport", "totalProducts"]),
+        "no_of_pages": None,
+        "result_count": len(results),
+        "results": results,
+        "meta_data": data.get("metadata"),
+        "remaining_credits": None,
+    }
+
+
 # Ordered dispatch table: (profile name, extractor).
 EXTRACTORS: list[tuple[str, Callable]] = [
     ("redux-detail", extract_redux_detail),
     ("nextprops-detail", extract_nextprops_detail),
     ("nextdata-serp", extract_nextdata_serp),
     ("nextdata-detail", extract_nextdata_detail),
+    ("ldjson-detail", extract_ldjson_detail),
     ("discover-detail", extract_discover_detail),
     ("webpack-detail", extract_webpack_detail),
+    ("webpack-serp", extract_webpack_serp),
     ("escaped-component-detail", extract_escaped_component_detail),
     ("pixels-detail", extract_pixels_detail),
     ("inline-js-detail", extract_inline_js_detail),
     ("css-serp", extract_css_serp),
+    ("apijson-serp", extract_apijson_serp),
 ]
 
 

@@ -30,7 +30,7 @@ SEED = 42
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 DETAIL_PROFILES = [
-    "nextdata-detail",      # walmart/parse_walmart-2.py
+    "nextdata-detail",      # walmart/parse_walmart-2.py (__NEXT_DATA__ path)
     "redux-detail",         # 1.samsclub/parse_samsclub.py
     "nextprops-detail",     # bedbathbeyond/parse_bedbathbeyond.py
     "inline-js-detail",     # costco/parse_costco.py
@@ -38,10 +38,13 @@ DETAIL_PROFILES = [
     "escaped-component-detail",  # bestbuy/parse_bestbuy_detai.py
     "webpack-detail",       # prev/parse_wayfair.py
     "discover-detail",      # prev/parse_tesco_html.py
+    "ldjson-detail",        # walmart/parse_walmart-2.py (ld+json path)
 ]
 SERP_PROFILES = [
     "nextdata-serp",        # walmart/parse_walmart.py
     "css-serp",             # prev/parse_mercado.py
+    "webpack-serp",         # prev/parse_wayfair_category.py
+    "apijson-serp",         # homedepot/parse_homedepot_json.py (raw JSON body)
 ]
 PROFILES = DETAIL_PROFILES + SERP_PROFILES
 
@@ -54,9 +57,15 @@ _SITES = {
     "escaped-component-detail": "bestbuyer",
     "webpack-detail": "wayflair",
     "discover-detail": "tesgo",
+    "ldjson-detail": "walmarty",
     "nextdata-serp": "walmarket-search",
     "css-serp": "mercadolibro",
+    "webpack-serp": "wayflair-browse",
+    "apijson-serp": "homestation",
 }
+
+_MONTHS = ["January", "February", "March", "April", "May", "June", "July",
+           "August", "September", "October", "November", "December"]
 
 _ADJ = ["Compact", "Deluxe", "Classic", "Ultra", "Smart", "Eco", "Pro",
         "Premium", "Portable", "Heavy-Duty", "Wireless", "Ergonomic"]
@@ -596,6 +605,134 @@ def _render_css_serp(p: dict, url: str, idx: int) -> str:
     )
 
 
+def _ldjson_reviews(idx: int) -> list[dict]:
+    """Deterministic top-reviews shared by renderer and golden (T7 dates)."""
+    r = _rng(idx * 19 + 9)
+    out = []
+    for k in range(r.randint(1, 3)):
+        m = r.randint(0, 11)
+        day = r.randint(1, 28)
+        out.append({
+            "name": f"Review {k + 1}",
+            "reviewBody": _sentence(r, 10),
+            "reviewRating": {"ratingValue": r.randint(1, 5)},
+            "datePublished": f"{_MONTHS[m]} {day}, 2025",
+            "_iso": f"2025-{m + 1:02d}-{day:02d}",
+            "author": {"name": f"user{r.randint(100, 999)}"},
+        })
+    return out
+
+
+def _render_ldjson_detail(p: dict, url: str, idx: int) -> str:
+    # walmart/parse_walmart-2.py:19-71 — ld+json carrier + DOM scalars.
+    reviews = [{k: v for k, v in rv.items() if k != "_iso"}
+               for rv in _ldjson_reviews(idx)]
+    ld = {
+        "@context": "https://schema.org", "@type": "Product",
+        "sku": p["product_id"],
+        "brand": {"name": p["brand"]},
+        "description": p["description"],
+        "aggregateRating": {"ratingValue": p["rating"],
+                            "ratingCount": p["total_ratings"],
+                            "reviewCount": p["total_reviews"]},
+        "review": reviews,
+        "offers": {"availability": "InStock" if p["in_stock"] else "OutOfStock"},
+    }
+    crumbs = "".join(
+        f'<li><a href="/cat/{c.lower().replace(" ", "-")}">{c}</a></li>'
+        for c in p["categories"]
+    )
+    thumbs = "".join(
+        f'<div data-testid="media-thumbnail"><img src="{u}?odnHeight=80"></div>'
+        for u in p["images"]
+    )
+    return (
+        _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
+        + f'<script type="application/ld+json">{json.dumps(ld)}</script>'
+        + f'<main><h1 itemprop="name">{p["name"]}</h1>'
+        + f'<ol class="w_4HBV">{crumbs}</ol>'
+        + f'<div class="media">{thumbs}</div>'
+        + f'<span itemprop="price">current price ${p["price"]:,.2f}</span>'
+        + f'<div class="description"><p>{p["description"]}</p></div></main>'
+        + _FOOTER
+    )
+
+
+def _webpack_grid(idx: int) -> list[dict]:
+    """Deterministic browse grid shared by renderer and golden."""
+    r = _rng(idx * 23 + 13)
+    grid = []
+    for k in range(r.randint(3, 7)):
+        sub = payload_for(idx * 1000 + k)
+        grid.append({
+            "sku": f"W{sub['product_id']}",
+            "url": f"https://www.wayflair.example.com/p/{sub['product_id']}",
+            "product_name": sub["name"],
+            "manufacturer": sub["brand"],
+            "image_data": {"ireid": 400000 + (idx * 1000 + k) % 500000},
+            "free_ship_text": "Free shipping" if k % 2 else None,
+            "average_overall_rating": sub["rating"],
+            "review_count": sub["total_reviews"],
+            "features_array": sub["features"][:2],
+            "romance_copy": sub["description"],
+            "raw_pricing_data": {"pricing": {
+                "customerPrice": {"quantityPrice": {"value": sub["price"],
+                                                    "currency": "USD"}},
+                "everydayPrice": {"quantityPrice": {"value": round(sub["price"] * 1.1, 2)}},
+                "listPrice": {"quantityPrice": {"value": sub["list_price"]}},
+            }},
+        })
+    return grid
+
+
+_WEBPACK_SERP_IMG = ("https://img.wayflair.example.com/ir/1234/567890/"
+                     "resize-h250-w250/pic.jpg")
+
+
+def _render_webpack_serp(p: dict, url: str, idx: int) -> str:
+    # prev/parse_wayfair_category.py:33-50 — WEBPACK slice + ireid rewrite.
+    grid = _webpack_grid(idx)
+    entry = {"application": {"props": {"browse": {"browse_grid_objects": grid}}}}
+    cards = "".join(
+        f'<div class="card"><h3>{g["product_name"]}</h3></div>' for g in grid
+    )
+    return (
+        _chrome_head("Browse")
+        + f'<img data-hb-id="FluidImage" src="{_WEBPACK_SERP_IMG}">'
+        + f'<main><div class="grid">{cards}</div></main>'
+        + "<script>var pre=1;</script>"
+        + f'<script>window["WEBPACK_ENTRY_DATA"] = {json.dumps(entry)};</script>'
+        + _FOOTER
+    )
+
+
+def _apijson_body(idx: int) -> dict:
+    """Deterministic API dump shared by renderer and golden (S2 source)."""
+    r = _rng(idx * 29 + 17)
+    n = r.randint(3, 8)
+    products = []
+    for k in range(n):
+        sub = payload_for(idx * 1000 + k)
+        products.append({
+            "code": sub["product_id"],
+            "name": sub["name"],
+            "modelNumber": f"M{sub['product_id']}",
+            "url": f"/product/{sub['product_id']}",
+            "brand": sub["brand"],
+            "imageUrl": sub["images"][0],
+            "pricing": {"displayPrice": {"value": sub["price"],
+                                         "currencyIso": "CAD"}},
+            "productRating": {"averageRating": sub["rating"],
+                              "totalReviews": sub["total_reviews"]},
+        })
+    return {
+        "searchReport": {"currentKeyword": _NOUN[idx % len(_NOUN)].lower(),
+                         "totalProducts": n * 5},
+        "products": products,
+        "metadata": {"source": "api", "page_size": n},
+    }
+
+
 def _render_pdf(p: dict, idx: int) -> bytes:
     """Minimal valid-enough PDF with a FlateDecode text stream (north_star
     PDF branch; absent in reference — SURVEY.md §7.6)."""
@@ -674,6 +811,9 @@ def render_page(idx: int, filler: int = 0) -> bytes:
         return _render_pdf(p, idx)
     if profile == "error":
         return _render_error(idx).encode("utf-8")
+    if profile == "apijson-serp":
+        # Raw JSON body (no HTML chrome, no filler — S2 API-dump source).
+        return json.dumps(_apijson_body(idx)).encode("utf-8")
     if profile == "nextdata-detail":
         html = _render_nextdata_detail(p, url)
     elif profile == "redux-detail":
@@ -690,10 +830,14 @@ def render_page(idx: int, filler: int = 0) -> bytes:
         html = _render_webpack_detail(p, url)
     elif profile == "discover-detail":
         html = _render_discover_detail(p, url)
+    elif profile == "ldjson-detail":
+        html = _render_ldjson_detail(p, url, idx)
     elif profile == "nextdata-serp":
         html = _render_nextdata_serp(p, url, idx)
     elif profile == "css-serp":
         html = _render_css_serp(p, url, idx)
+    elif profile == "webpack-serp":
+        html = _render_webpack_serp(p, url, idx)
     else:  # pragma: no cover
         raise ValueError(profile)
     if filler:
@@ -757,6 +901,61 @@ def golden_envelope(idx: int) -> Optional[dict]:
             "total_results": n_items * 3,
             "result_count": len(results),
             "results": results,
+        }
+
+    if profile == "webpack-serp":
+        import re as _re
+        results = []
+        for g in _webpack_grid(idx):
+            ireid = str(g["image_data"]["ireid"])
+            img = _re.sub(r"/\d+/\d+/", f"/{ireid[:4]}/{ireid}/",
+                          _WEBPACK_SERP_IMG)
+            img = _re.sub(r"resize-h\d+(?:-w\d+)?", "resize-h800-w800", img)
+            pr = g["raw_pricing_data"]["pricing"]
+            results.append({
+                "sku": g["sku"], "url": g["url"], "name": g["product_name"],
+                "manufacturer": g["manufacturer"], "image_url": img,
+                "free_ship_text": g["free_ship_text"],
+                "average_overall_rating": g["average_overall_rating"],
+                "review_count": g["review_count"],
+                "features": g["features_array"],
+                "romance_copy": g["romance_copy"],
+                "customer_price": pr["customerPrice"]["quantityPrice"]["value"],
+                "everyday_price": pr["everydayPrice"]["quantityPrice"]["value"],
+                "list_price": pr["listPrice"]["quantityPrice"]["value"],
+                "currency": "USD",
+            })
+        return {"success": True, "result_count": len(results),
+                "results": results}
+
+    if profile == "apijson-serp":
+        body = _apijson_body(idx)
+        results = []
+        for prod in body["products"]:
+            results.append({
+                "id": prod["code"], "name": prod["name"],
+                "model_no": prod["modelNumber"],
+                "url": f"https://www.homestation.example.com{prod['url']}",
+                "brand": prod["brand"],
+                "thumbnails": [prod["imageUrl"]],
+                "price": prod["pricing"]["displayPrice"]["value"],
+                "price_reduced": None,
+                "currency": "CAD",
+                "rating": prod["productRating"]["averageRating"],
+                "total_reviews": prod["productRating"]["totalReviews"],
+                "favorite_count": None,
+                "inventory_quantity": None,
+            })
+        return {
+            "success": True, "store_no": None, "zipcode": None,
+            "search": body["searchReport"]["currentKeyword"],
+            "page": None,
+            "total_results": body["searchReport"]["totalProducts"],
+            "no_of_pages": None,
+            "result_count": len(results),
+            "results": results,
+            "meta_data": body["metadata"],
+            "remaining_credits": None,
         }
 
     if profile == "css-serp":
@@ -873,6 +1072,25 @@ def golden_envelope(idx: int) -> Optional[dict]:
         detail["variants"] = [
             {"type": "Color", "value": v["value"], "available": v["available"]}
             for v in p["variants"]
+        ]
+    elif profile == "ldjson-detail":
+        detail["list_price"] = None
+        detail["specifications"] = None
+        detail["variants"] = None
+        detail["categories"] = [
+            {"name": c,
+             "url": ("https://www.walmarty.example.com/cat/"
+                     + c.lower().replace(" ", "-"))}
+            for c in p["categories"]
+        ]
+        detail["is_subscription"] = False
+        detail["top_reviews"] = [
+            {"review_title": rv["name"],
+             "review_text": rv["reviewBody"],
+             "rating": rv["reviewRating"]["ratingValue"],
+             "date": rv["_iso"],
+             "reviewer_name": rv["author"]["name"]}
+            for rv in _ldjson_reviews(idx)
         ]
 
     return {

@@ -1,0 +1,68 @@
+"""Multimodal plumbing tests: binary payload columns ride Arrow batches
+through a Pandas UDF; real codecs are stubbed (not in this container) but
+the schema / batch shape / deterministic features are exercised for real."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from html_parser_spark.functions import mediaops
+from html_parser_spark.sources.media import media_from_documents
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(12)], ["doc_id", "text"])
+    return media_from_documents(docs)
+
+
+def test_media_schema_and_kinds(media):
+    assert [f.name for f in media.schema.fields] == \
+        ["media_id", "kind", "payload", "meta"]
+    assert dict(media.dtypes)["payload"] == "binary"
+    kinds = {r.media_id: r.kind for r in media.select("media_id", "kind").collect()}
+    assert kinds[0] == "image" and kinds[1] == "audio" and kinds[2] == "video"
+
+
+def test_feature_extraction_matches_python(media):
+    feats = {r.media_id: r for r in
+             mediaops.extract_media_features(media).collect()}
+    for i in range(12):
+        hexd = hashlib.md5(str(i).encode()).hexdigest()
+        payload = (hexd * (i % 4 + 1)).encode()
+        r = feats[i]
+        assert r.n_bytes == len(payload)
+        assert r.header == hexd[:8]
+        assert r.checksum == hashlib.md5(payload).hexdigest()
+        assert r.width == 16 * (i % 64 + 1)
+        assert r.height == 16 * (i % 48 + 1)
+
+
+def test_real_decoders_are_clearly_stubbed():
+    with pytest.raises(NotImplementedError):
+        mediaops.decode_image(b"\x89PNG...")
+    with pytest.raises(NotImplementedError):
+        mediaops.sample_video_frames(b"\x00\x00\x00 ftypmp42")
+
+
+def test_null_payload_safe(spark):
+    from pyspark.sql.types import (BinaryType, IntegerType, LongType,
+                                   StringType, StructField, StructType)
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", StructType([
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("duration_ms", IntegerType()),
+        ])),
+    ])
+    df = spark.createDataFrame(
+        [(1, "image", None, ("png", 16, 16, 0))], schema)
+    row = mediaops.extract_media_features(df).collect()[0]
+    assert row.n_bytes == 0 and row.header == ""

@@ -36,7 +36,7 @@ def test_detect_carrier_on_detail_profiles():
     seen = set()
     for idx in range(100):
         p = synth.profile_for(idx)
-        if p in ("pdf", "error", "css-serp"):
+        if p in ("pdf", "error", "css-serp", "apijson-serp"):
             continue
         dom = tokenize(synth.render_page(idx).decode("utf-8"))
         c = detect_carrier(collect_scripts(dom))
