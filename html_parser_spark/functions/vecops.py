@@ -35,10 +35,15 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k per query. The small ``queries`` side is broadcast
     so the corpus never shuffles; per-query ranking is one window."""
+    # Norms are computed ONCE per row before the join (n + m sqrt-folds),
+    # not per pair (n·m) — the per-pair work is a single dot fold. Same
+    # doubles as dot/(|a|·|b|) computed pairwise, so oracle parity holds.
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+                       F.col(vec_col).alias("q_vec"),
+                       l2_norm(F.col(vec_col)).alias("q_norm"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
+                      F.col(vec_col).alias("c_vec"),
+                      l2_norm(F.col(vec_col)).alias("c_norm"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -46,7 +51,8 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             "query_id", "neighbor_id",
             # Rank on a 6-decimal rounding with id tie-break so the ordering
             # is reproducible across engines/float paths.
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("q_norm") * F.col("c_norm")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -64,14 +70,20 @@ def near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
     cut is reproducible across engines. This is the correctness baseline;
     at crawl scale use :func:`lsh_bucketed_topk`'s bucket join instead of
     the O(n²) product (candidate generation on the bucket key, then this
-    exact cosine only within buckets)."""
-    a = corpus.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    exact cosine only within buckets).
+
+    Norms are precomputed per row (not per pair) — identical doubles,
+    ~3× less per-pair work since the dot is the only O(d) fold left."""
+    a = corpus.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"),
+                      l2_norm(F.col(vec_col)).alias("na"))
+    b = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"),
+                      l2_norm(F.col(vec_col)).alias("nb"))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a", "doc_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= F.lit(threshold))
     )
