@@ -34,34 +34,36 @@ MIN_CONT_CHARS = 8
 
 
 def score_lines(dom: FlatDOM) -> list[tuple[str, int, int, bool]]:
-    """Segment into lines → (text, n_chars, n_link_chars, in_boiler_container)."""
+    """Segment into lines → (text, n_chars, n_link_chars, in_boiler_container).
+
+    One pass; ancestry flags (under <a> / boiler container / excluded) are
+    tracked as counters on the open-element stack instead of per-node flag
+    arrays — no O(n) pre-pass, and the whitespace-collapse on text pieces is
+    only computed when a flag is actually set (link/boiler text is a small
+    minority of content bytes on real pages).
+    """
     n = len(dom)
     tags = dom.tags
     depth = dom.depth
-    parent = dom.parent
     texts = dom.texts
-
-    # Forward flag propagation (parents precede children in the array).
-    under_a = bytearray(n)
-    under_boiler = bytearray(n)
-    under_excl = bytearray(n)
-    for i in range(1, n):
-        p = parent[i]
-        t = tags[i]
-        under_a[i] = under_a[p] or t == "a"
-        under_boiler[i] = under_boiler[p] or t in _BOILER_CONTAINERS
-        under_excl[i] = under_excl[p] or t in EXCLUDED_TAGS
 
     lines: list[tuple[str, int, int, bool]] = []
     buf: list[str] = []
     buf_link = 0
     buf_boiler = False
-    stack: list[tuple[int, bool]] = []  # (depth, is_block)
+    # (depth, is_block, d_a, d_boiler, d_excl) — d_* are 0/1 contributions.
+    stack: list[tuple[int, bool, int, int, int]] = []
+    in_a = in_boiler = in_excl = 0
 
     def flush() -> None:
         nonlocal buf_link, buf_boiler
         if buf:
-            line = _WS_RE.sub(" ", "".join(buf)).strip()
+            line = "".join(buf)
+            if (not line.isascii() or "  " in line or "\n" in line
+                    or "\t" in line or "\r" in line or "\f" in line
+                    or "\v" in line):
+                line = _WS_RE.sub(" ", line)
+            line = line.strip()
             if line:
                 lines.append((line, len(line), min(buf_link, len(line)), buf_boiler))
             del buf[:]
@@ -71,19 +73,23 @@ def score_lines(dom: FlatDOM) -> list[tuple[str, int, int, bool]]:
     for i in range(1, n):
         d = depth[i]
         while stack and stack[-1][0] >= d:
-            _, was_block = stack.pop()
+            _, was_block, d_a, d_boiler, d_excl = stack.pop()
+            in_a -= d_a
+            in_boiler -= d_boiler
+            in_excl -= d_excl
             if was_block:
                 flush()
         t = tags[i]
         if t == TEXT:
-            if not under_excl[i]:
+            if not in_excl:
                 piece = texts[i] or ""
                 buf.append(piece)
-                stripped = _WS_RE.sub(" ", piece).strip()
-                if under_a[i]:
-                    buf_link += len(stripped)
-                if under_boiler[i] and stripped:
-                    buf_boiler = True
+                if in_a or in_boiler:
+                    stripped = _WS_RE.sub(" ", piece).strip()
+                    if in_a:
+                        buf_link += len(stripped)
+                    if in_boiler and stripped:
+                        buf_boiler = True
         elif t == COMMENT:
             continue
         elif t == "br":
@@ -92,9 +98,18 @@ def score_lines(dom: FlatDOM) -> list[tuple[str, int, int, bool]]:
             is_block = t in BLOCK_TAGS
             if is_block:
                 flush()
-            stack.append((d, is_block))
+            d_a = 1 if t == "a" else 0
+            d_boiler = 1 if t in _BOILER_CONTAINERS else 0
+            d_excl = 1 if t in EXCLUDED_TAGS else 0
+            in_a += d_a
+            in_boiler += d_boiler
+            in_excl += d_excl
+            stack.append((d, is_block, d_a, d_boiler, d_excl))
     while stack:
-        _, was_block = stack.pop()
+        _, was_block, d_a, d_boiler, d_excl = stack.pop()
+        in_a -= d_a
+        in_boiler -= d_boiler
+        in_excl -= d_excl
         if was_block:
             flush()
     flush()

@@ -59,8 +59,16 @@ def extract_text(dom: FlatDOM) -> str:
 
     def flush() -> None:
         if buf:
-            line = _WS_RE.sub(" ", "".join(buf)).strip()
+            line = "".join(buf)
             del buf[:]
+            # Fast path: collapse only when a whitespace run can exist —
+            # most content lines carry single spaces only, and the C
+            # substring scans are ~free next to the regex sub.
+            if (not line.isascii() or "  " in line or "\n" in line
+                    or "\t" in line or "\r" in line or "\f" in line
+                    or "\v" in line):
+                line = _WS_RE.sub(" ", line)
+            line = line.strip()
             if line:
                 lines.append(line)
 

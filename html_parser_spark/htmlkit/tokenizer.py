@@ -183,54 +183,87 @@ def _parse_attrs(raw: str) -> dict:
         return {}
     out: dict = {}
     for m in _ATTR_RE.finditer(raw):
-        name = m.group(1).lower()
+        name = m.group(1)
+        if not name.islower():
+            name = name.lower()
         if name in out:
             continue  # first occurrence wins (browser behavior)
         if m.group(2) is None:
             out[name] = ""
         else:
-            val = m.group(3)
-            if val is None:
-                val = m.group(4)
-            if val is None:
-                val = m.group(5) or ""
-            out[name] = _decode(val)
+            # Exactly one of groups 3/4/5 matched; "" collapses harmlessly.
+            val = m.group(3) or m.group(4) or m.group(5) or ""
+            out[name] = unescape(val) if "&" in val else val
     return out
 
 
 def tokenize(html: str) -> FlatDOM:
-    """Single-pass tokenize + tree build. Never raises on malformed input."""
+    """Single-pass tokenize + tree build. Never raises on malformed input.
+
+    Hot-loop notes: the five parallel-array appends are inlined at each
+    node-emission site onto locally-bound ``list.append`` (a helper call per
+    node costs ~15% of tokenize); the open-element stack carries
+    (node_id, tag, depth) so no array lookups are needed to place children;
+    tag names skip ``.lower()`` when already lowercase (the overwhelmingly
+    common case in real markup).
+    """
     dom = FlatDOM()
-    # Open-element stack of (node_id, tag).
-    stack: list[tuple[int, str]] = [(0, "#root")]
+    tags_app = dom.tags.append
+    parent_app = dom.parent.append
+    depth_app = dom.depth.append
+    attrs_app = dom.attrs.append
+    texts_app = dom.texts.append
+    unesc = unescape
+
+    # Open-element stack of (node_id, tag, depth).
+    stack = [(0, "#root", 0)]
+    top = stack[-1]
     pos = 0
     n = len(html)
     find = _TOKEN_RE.search
+    node_count = 1  # root
 
     while pos < n:
         m = find(html, pos)
         if m is None:
-            # trailing text
-            _emit_text(dom, stack, html[pos:])
+            raw = html[pos:]
+            tags_app(TEXT)
+            parent_app(top[0])
+            depth_app(top[2] + 1)
+            attrs_app(None)
+            texts_app(unesc(raw) if "&" in raw else raw)
+            node_count += 1
             break
         start = m.start()
         if start > pos:
-            _emit_text(dom, stack, html[pos:start])
+            raw = html[pos:start]
+            tags_app(TEXT)
+            parent_app(top[0])
+            depth_app(top[2] + 1)
+            attrs_app(None)
+            texts_app(unesc(raw) if "&" in raw else raw)
+            node_count += 1
         pos = m.end()
 
         open_tag = m.group("open")
         if open_tag is not None:
-            tag = open_tag.lower()
-            _implied_closes(stack, tag)
-            parent_id = stack[-1][0]
-            attrs = _parse_attrs(m.group("attrs") or "")
-            node = dom._add(tag, parent_id, dom.depth[parent_id] + 1, attrs=attrs)
-            self_closing = bool(m.group("selfclose")) or tag in VOID_ELEMENTS
-            if not self_closing:
+            tag = open_tag if open_tag.islower() else open_tag.lower()
+            if len(stack) > 1:
+                _implied_closes(stack, tag)
+                top = stack[-1]
+            pdepth = top[2]
+            raw_attrs = m.group("attrs")
+            tags_app(tag)
+            parent_app(top[0])
+            depth_app(pdepth + 1)
+            attrs_app(_parse_attrs(raw_attrs) if raw_attrs else {})
+            texts_app(None)
+            node = node_count
+            node_count += 1
+            if not (m.group("selfclose") or tag in VOID_ELEMENTS):
                 if tag in RAWTEXT_ELEMENTS:
                     # Raw text: skip to the matching close tag with str.find.
-                    close_marker = "</" + tag
-                    idx = _find_ci(html, close_marker, pos)
+                    idx = _find_ci(html, "</" + tag, pos)
                     if idx == -1:
                         raw = html[pos:]
                         pos = n
@@ -239,25 +272,39 @@ def tokenize(html: str) -> FlatDOM:
                         gt = html.find(">", idx)
                         pos = n if gt == -1 else gt + 1
                     if raw:
-                        dom._add(TEXT, node, dom.depth[node] + 1,
-                                 text=raw if tag in ("script", "style") else _decode(raw))
+                        tags_app(TEXT)
+                        parent_app(node)
+                        depth_app(pdepth + 2)
+                        attrs_app(None)
+                        if tag in ("script", "style"):
+                            texts_app(raw)
+                        else:
+                            texts_app(unesc(raw) if "&" in raw else raw)
+                        node_count += 1
                 else:
-                    stack.append((node, tag))
+                    top = (node, tag, pdepth + 1)
+                    stack.append(top)
             continue
 
         close_tag = m.group("close")
         if close_tag is not None:
-            tag = close_tag.lower()
+            tag = close_tag if close_tag.islower() else close_tag.lower()
             # Pop to the matching open tag; ignore unmatched closes.
             for k in range(len(stack) - 1, 0, -1):
                 if stack[k][1] == tag:
                     del stack[k:]
+                    top = stack[-1]
                     break
             continue
 
         comment = m.group("comment")
         if comment is not None:
-            dom._add(COMMENT, stack[-1][0], dom.depth[stack[-1][0]] + 1, text=comment)
+            tags_app(COMMENT)
+            parent_app(top[0])
+            depth_app(top[2] + 1)
+            attrs_app(None)
+            texts_app(comment)
+            node_count += 1
             continue
 
         # CDATA sections, doctype, processing instructions: dropped
