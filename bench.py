@@ -53,11 +53,14 @@ def _session(cores: int):
     )
 
 
-def _timed(df_factory) -> float:
+def _timed(df_factory, repeats: int = 2) -> float:
     df_factory().count()                       # warm: JIT + python workers
-    t0 = time.perf_counter()
-    df_factory().count()
-    return round(time.perf_counter() - t0, 3)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        df_factory().count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def corpus_path() -> str:
@@ -79,18 +82,25 @@ def ensure_corpus(spark) -> str:
     return path
 
 
-def run_extract(spark, path: str) -> tuple[float, int]:
-    """Timed: scan parquet pages → map-only extract → count."""
+def run_extract(spark, path: str, repeats: int = 2) -> tuple[float, int]:
+    """Timed: scan parquet pages → map-only extract → count.
+
+    One warm pass, then best-of-``repeats`` — min is the standard
+    noise-robust throughput estimator on a shared box (GC, page cache and
+    turbo transitions only ever make a run slower, not faster)."""
     from html_parser_spark.job import pipeline as P
 
     def job():
         return (P.extract_pages(spark.read.parquet(path))
                 .where("status = 'ok'"))
 
-    job().count()                              # warm pass
-    t0 = time.perf_counter()
-    n_ok = job().count()
-    return time.perf_counter() - t0, n_ok
+    n_ok = job().count()                       # warm pass
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        n_ok = job().count()
+        best = min(best, time.perf_counter() - t0)
+    return best, n_ok
 
 
 def main() -> None:

@@ -197,3 +197,40 @@ def weighted_rating(hist: Optional[dict]) -> float:
 def dedup_preserve_order(items: list) -> list:
     """R8: ``list(dict.fromkeys(x))`` (bestbuy/parse_bestbuy_detai.py:46)."""
     return list(dict.fromkeys(items))
+
+
+_CAMEL_RE = re.compile(r"(?<!^)(?=[A-Z])")
+
+
+def camel_to_snake(key: str) -> str:
+    """T2: ``re.sub(r'(?<!^)(?=[A-Z])', '_', k).lower()``
+    (walmart/parse_walmart-2.py:82)."""
+    return _CAMEL_RE.sub("_", key).lower()
+
+
+def snake_case_keys(obj: Any) -> Any:
+    """T2 recursive variant (walmart/parse_walmart-2.py:96-104)."""
+    if isinstance(obj, dict):
+        return {camel_to_snake(k): snake_case_keys(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [snake_case_keys(v) for v in obj]
+    return obj
+
+
+NUTRITION_KEYS = ("calorieInfo", "keyNutrients", "vitaminMinerals",
+                  "servingInfo", "additionalDisclaimer", "staticContent")
+
+
+def restructure_nutrition(nutrition: dict) -> dict:
+    """T17: pick the 6 nutrition sub-objects into a new struct, then
+    recursive snake_case (walmart/parse_walmart-2.py:83-104)."""
+    picked = {camel_to_snake(k): nutrition.get(k) for k in NUTRITION_KEYS}
+    return snake_case_keys(picked)
+
+
+def order_keys(detail: dict, key_order: list[str]) -> dict:
+    """T4: stable sort of detail keys by a fixed order list; unknown keys
+    keep insertion order at the end (walmart/parse_walmart-2.py:152-164)."""
+    idx = {k: i for i, k in enumerate(key_order)}
+    n = len(key_order)
+    return dict(sorted(detail.items(), key=lambda kv: idx.get(kv[0], n)))

@@ -44,6 +44,23 @@ def _envelope(url: Optional[str], detail: dict) -> dict:
 
 # -- nextdata-detail (walmart/parse_walmart-2.py) ---------------------------
 
+# T3 key-drop projection (walmart/parse_walmart-2.py:79-81).
+_W2_KEYS_TO_DROP = frozenset([
+    "arExperience", "genAiDetails", "chokingHazards", "esrbRating",
+    "mpaaRating", "product360ImageContainer", "hasMarketingDescription",
+    "sizeChart", "longDescription", "shortDescription",
+])
+
+# T4 fixed key order (walmart/parse_walmart-2.py:152-164).
+_W2_KEY_ORDER = [
+    "id", "name", "brand", "url", "images", "price", "currency",
+    "currency_symbol", "is_subscription", "offer_text", "rating",
+    "total_ratings", "total_reviews", "in_stock", "categories",
+    "description", "key_features", "seller_name", "seller_url",
+    "est_delivery_date", "returns_info",
+]
+
+
 def extract_nextdata_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
     data = C.json_script_by_id(scripts, "__NEXT_DATA__")
     prod = gj(data, ["props", "pageProps", "initialData", "data", "product"])
@@ -57,6 +74,7 @@ def extract_nextdata_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[d
         for k, v in vmap.items()
     ] or None
     detail = {
+        "id": prod.get("usItemId"),
         "product_id": prod.get("usItemId"),
         "name": prod.get("name"),
         "brand": prod.get("brand"),
@@ -67,14 +85,43 @@ def extract_nextdata_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[d
         "rating": prod.get("averageRating"),
         "total_ratings": prod.get("numberOfRatings"),
         "total_reviews": prod.get("numberOfReviews"),
-        "description": prod.get("shortDescription"),
+        "description": idml.get("shortDescription") or prod.get("shortDescription"),
         "images": [i.get("url") for i in gj(prod, ["imageInfo", "allImages"]) or []],
         "categories": [c.get("name") for c in gj(prod, ["category", "path"]) or []],
-        "specifications": idml.get("specifications"),
         "variants": variants,
         "in_stock": prod.get("availabilityStatus") == "IN_STOCK",
         "url": _canonical_url(dom, url),
     }
+    # idml projection: T3 drop → T2 snake_case → T17 nutrition restructure
+    # (walmart/parse_walmart-2.py:79-109).
+    for key, value in idml.items():
+        if key in _W2_KEYS_TO_DROP:
+            continue
+        new_key = F.camel_to_snake(key)
+        if new_key == "nutrition_facts" and isinstance(value, dict):
+            detail[new_key] = F.restructure_nutrition(value)
+        elif new_key == "product_highlights" and isinstance(value, list):
+            detail[new_key] = [
+                {k: v for k, v in h.items() if k != "iconURL"} for h in value
+            ]
+        else:
+            detail[new_key] = value
+    # key_features: longDescription fragment, ul→list else plain text (:144-151).
+    long_html = idml.get("longDescription")
+    if long_html:
+        frag = tokenize(long_html)
+        lis = F.parse_ul(frag)
+        detail["key_features"] = lis if lis else (
+            F.collapse_ws(frag.node_text(0)) or None)
+    # seller / delivery / returns (:116-132).
+    detail["seller_name"] = prod.get("sellerName", "")
+    detail["seller_url"] = (
+        f"https://www.walmarket.example.com/seller/{prod.get('sellerId', '')}")
+    fs = prod.get("fulfillmentSummary")
+    dd = gj(fs, [0, "deliveryDate"]) if fs else None
+    detail["est_delivery_date"] = dd.split("T")[0] if dd else None  # T7
+    detail["returns_info"] = gj(prod, ["returnPolicy", "returnPolicyText"])
+    detail = F.order_keys(detail, _W2_KEY_ORDER)  # T4
     return _envelope(detail["url"], detail)
 
 

@@ -220,6 +220,44 @@ def _main_block(p: dict) -> str:
 # Per-profile renderers
 # --------------------------------------------------------------------------
 
+def _w2_delivery_date(p: dict) -> str:
+    pid = int(p["product_id"])
+    return f"2025-{pid % 9 + 1:02d}-{pid % 28 + 1:02d}T10:00:00.000Z"
+
+
+def _w2_idml(p: dict) -> dict:
+    """walmart-2 idml blob shared by renderer and golden: exercises T2
+    (snake rename), T3 (key drop), T17 (nutrition restructure) and the
+    longDescription ul fragment (key_features)."""
+    pid = int(p["product_id"])
+    idml = {
+        "specifications": p["specifications"],
+        "shortDescription": p["description"],
+        "longDescription": "<ul>" + "".join(
+            f"<li>{f}</li>" for f in p["features"]) + "</ul>",
+        "productHighlights": [
+            {"name": f, "iconURL": "https://icons.example.com/h.png"}
+            for f in p["features"][:2]
+        ],
+        "arExperience": {"modelUrl": "drop-me"},        # T3 victim
+        "sizeChart": {"url": "drop-me-too"},            # T3 victim
+        "warrantyInfo": f"{pid % 5 + 1} year limited",  # T2 → warranty_info
+    }
+    if pid % 3 == 0:
+        idml["nutritionFacts"] = {
+            "calorieInfo": {"mainNutrient": {"name": "Calories",
+                                             "amount": str(100 + pid % 400)}},
+            "keyNutrients": {"children": [
+                {"nutrientName": "TotalFat", "amountPerServing": f"{pid % 30}g"}]},
+            "servingInfo": {"servingsPerContainer": str(pid % 8 + 1),
+                            "servingSize": "1 cup"},
+            "vitaminMinerals": None,
+            "additionalDisclaimer": None,
+            "staticContent": None,
+        }
+    return idml
+
+
 def _render_nextdata_detail(p: dict, url: str) -> str:
     # walmart/parse_walmart-2.py:75-78 shape + ld+json (J1).
     product = {
@@ -241,8 +279,12 @@ def _render_nextdata_detail(p: dict, url: str) -> str:
             v["value"]: {"availabilityStatus": "IN_STOCK" if v["available"] else "OUT_OF_STOCK"}
             for v in p["variants"]
         },
+        "sellerName": f"{p['brand']} Official Store",
+        "sellerId": f"S{p['product_id']}",
+        "fulfillmentSummary": [{"deliveryDate": _w2_delivery_date(p)}],
+        "returnPolicy": {"returnPolicyText": "Free 90-day returns"},
     }
-    idml = {"specifications": p["specifications"]}
+    idml = _w2_idml(p)
     next_data = {
         "props": {"pageProps": {"initialData": {"data": {
             "product": product, "idml": idml,
@@ -1069,10 +1111,34 @@ def golden_envelope(idx: int) -> Optional[dict]:
         detail["in_stock"] = None
         detail["total_ratings"] = None
     elif profile == "nextdata-detail":
+        pid = int(p["product_id"])
+        detail["id"] = p["product_id"]
         detail["variants"] = [
             {"type": "Color", "value": v["value"], "available": v["available"]}
             for v in p["variants"]
         ]
+        # idml projection expectations, written out literally (T2/T3/T17).
+        detail["product_highlights"] = [{"name": f} for f in p["features"][:2]]
+        detail["warranty_info"] = f"{pid % 5 + 1} year limited"
+        if pid % 3 == 0:
+            detail["nutrition_facts"] = {
+                "calorie_info": {"main_nutrient": {
+                    "name": "Calories", "amount": str(100 + pid % 400)}},
+                "key_nutrients": {"children": [
+                    {"nutrient_name": "TotalFat",
+                     "amount_per_serving": f"{pid % 30}g"}]},
+                "vitamin_minerals": None,
+                "serving_info": {"servings_per_container": str(pid % 8 + 1),
+                                 "serving_size": "1 cup"},
+                "additional_disclaimer": None,
+                "static_content": None,
+            }
+        detail["key_features"] = list(p["features"])
+        detail["seller_name"] = f"{p['brand']} Official Store"
+        detail["seller_url"] = (
+            f"https://www.walmarket.example.com/seller/S{p['product_id']}")
+        detail["est_delivery_date"] = f"2025-{pid % 9 + 1:02d}-{pid % 28 + 1:02d}"
+        detail["returns_info"] = "Free 90-day returns"
     elif profile == "ldjson-detail":
         detail["list_price"] = None
         detail["specifications"] = None
