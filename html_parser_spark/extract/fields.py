@@ -142,6 +142,150 @@ def parse_kv_table(dom: FlatDOM) -> dict:
     return {d["name"]: d["value"] for d in parse_spec_table(dom)}
 
 
+def _table_rows(dom: FlatDOM, table: int):
+    for i in dom.iter_descendants(table):
+        if dom.tags[i] == "tr":
+            yield i
+
+
+def parse_plain_table(dom: FlatDOM, table: int) -> dict:
+    """X4 dict form: k/v rows → entries; empty-key rows → ``Items[]``
+    (1.samsclub/parse_samsclub.py:128-145)."""
+    data: dict = {}
+    for tr in _table_rows(dom, table):
+        tds = [c for c in dom.children(tr) if dom.tags[c] == "td"]
+        if len(tds) < 2:
+            continue
+        key = dom.node_text(tds[0]).strip()
+        val = dom.node_text(tds[1]).strip()
+        if key and val:
+            data[key] = val
+        elif not key and val:
+            data.setdefault("Items", []).append(val)
+    return data
+
+
+def parse_sectioned_table(dom: FlatDOM, table: int) -> dict:
+    """X3 sectioned table: ``<th>`` rows set the current section; empty-key
+    data rows append to the section's list with scalar→list promotion
+    (1.samsclub/parse_samsclub.py:83-126)."""
+    data: dict = {}
+    current: Optional[str] = None
+    for tr in _table_rows(dom, table):
+        ths = [c for c in dom.children(tr) if dom.tags[c] == "th"]
+        if ths:
+            sect = dom.node_text(ths[0]).strip()
+            if sect:
+                current = sect
+            continue
+        tds = [c for c in dom.children(tr) if dom.tags[c] == "td"]
+        if len(tds) < 2:
+            continue
+        key = dom.node_text(tds[0]).strip()
+        val = dom.node_text(tds[1]).strip()
+        if key and val:
+            data[key] = val
+        elif not key and val and current:
+            if current not in data:
+                data[current] = []
+            if isinstance(data[current], list):
+                data[current].append(val)
+            else:
+                data[current] = [data[current], val]
+    return data
+
+
+def parse_strong_props(dom: FlatDOM) -> dict:
+    """T16: ``<p><strong>Name: </strong>value</p>`` → {Name: value}; the
+    value is the paragraph text with the strong text removed once
+    (1.samsclub/parse_samsclub.py:147-168)."""
+    props: dict = {}
+    for p in S.select(dom, "p"):
+        strong = next((i for i in dom.iter_descendants(p)
+                       if dom.tags[i] == "strong"), None)
+        if strong is None:
+            continue
+        s_text = dom.node_text(strong)
+        name = s_text.strip().rstrip(":")
+        value = dom.node_text(p).strip().replace(s_text, "", 1).strip()
+        if name and value:
+            props[name] = value
+    return props
+
+
+def parse_html_as_data(dom: FlatDOM) -> list:
+    """Composite fragment parser (1.samsclub/parse_samsclub.py:53-170):
+    each ``<ul>`` → list (orphan ``<li>`` fallback), each table → dict
+    (sectioned when a ``<thead>`` is present), then p/strong props."""
+    ret: list = []
+    uls = S.select(dom, "ul")
+    for ul in uls:
+        items = parse_ul(dom, ul)
+        if items:
+            ret.append(items)
+    if not uls:
+        items = parse_ul(dom)
+        if items:
+            ret.append(items)
+    for table in S.select(dom, "table"):
+        has_thead = any(dom.tags[i] == "thead"
+                        for i in dom.iter_descendants(table))
+        data = (parse_sectioned_table(dom, table) if has_thead
+                else parse_plain_table(dom, table))
+        if data:
+            ret.append(data)
+    props = parse_strong_props(dom)
+    if props:
+        ret.append(props)
+    return ret
+
+
+def normalize_specs(parsed: list) -> tuple[Optional[list], Optional[list]]:
+    """X6 spec normalizer (1.samsclub/parse_samsclub.py:352-384): table
+    dicts → {name,value} rows, list-values → additional_details, ul entries
+    split on ':' (default name ``Feature``)."""
+    specs: list = []
+    extra: list = []
+    for item in parsed:
+        if isinstance(item, dict):
+            for key, value in item.items():
+                if isinstance(value, list):
+                    extra.append({"name": key, "value": value})
+                else:
+                    specs.append({"name": key, "value": value})
+        elif isinstance(item, list):
+            for entry in item:
+                if ":" in entry:
+                    name, value = entry.split(":", 1)
+                    specs.append({"name": name.strip(), "value": value.strip()})
+                else:
+                    specs.append({"name": "Feature", "value": entry.strip()})
+    return (specs or None, extra or None)
+
+
+def join_variant_criteria(criteria: list, info_map: list) -> list:
+    """R3 variant join (1.samsclub/parse_samsclub.py:428-455): the
+    reference's O(options×infos×values) nested loop, semantically a hash
+    join of (type, value) pairs; emission order preserved."""
+    variants: list = []
+    for option in criteria or []:
+        option_type = option.get("name")
+        for value in option.get("values") or []:
+            variant_value = value.get("value")
+            for info in info_map or []:
+                for vi in info.get("values") or []:
+                    if (vi.get("name") == option_type
+                            and vi.get("value") == variant_value):
+                        variants.append({
+                            "type": option_type,
+                            "name": variant_value,
+                            "sku_id": info.get("variantSkuId"),
+                            "family_sku_id": info.get("variantItemGroupId"),
+                            "image_url": value.get("imageUrl"),
+                        })
+    return variants
+
+
 def parse_ul(dom: FlatDOM, root: Optional[int] = None) -> list[str]:
     """X5: each <li> → stripped text (1.samsclub/parse_samsclub.py:62-78)."""
     lis = S.select(dom, "li") if root is None else [

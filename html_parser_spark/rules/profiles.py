@@ -170,11 +170,13 @@ def extract_redux_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict
     if not products:
         return None
     pid, prod = next(iter(products.items()))  # first product (:218-219)
-    # HTML fragments inside JSON fields (P3): spec table + shortDescription ul.
+    # HTML fragments inside JSON fields (P3): spec fragment (X3/X4/T16/X6)
+    # + shortDescription ul.
     spec_html = gj(prod, ["manufacturingInfo", "specification"])
-    specifications = (
-        F.parse_spec_table(tokenize(spec_html)) if spec_html else None
-    )
+    specifications = additional_details = None
+    if spec_html:
+        specifications, additional_details = F.normalize_specs(
+            F.parse_html_as_data(tokenize(spec_html)))  # :341-384
     short_html = gj(prod, ["descriptors", "shortDescription"])
     features = F.parse_ul(tokenize(short_html)) if short_html else None
     images_entry = gj(state, ["productImages", pid, "images"]) or []
@@ -187,29 +189,108 @@ def extract_redux_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict
                 return m.get("value")
         return None
 
+    sku = gj(prod, ["skus", 0]) or {}
+    offer = sku.get("onlineOffer") or {}
     detail = {
         "product_id": prod.get("productId"),
+        "sku_id": sku.get("skuId"),
+        "upc": offer.get("generatedUPC"),
+        "gtin": offer.get("gtin"),
+        "item_no": offer.get("itemNumber"),
+        "model_no": gj(prod, ["manufacturingInfo", "model"]),
         "name": gj(prod, ["descriptors", "name"]),
         "brand": gj(prod, ["manufacturingInfo", "brand"]),
-        "price": gj(prod, ["skus", 0, "onlineOffer", "price", "finalPrice", "amount"]),
-        "list_price": gj(prod, ["skus", 0, "onlineOffer", "price", "listPrice", "amount"]),
-        "currency": gj(prod, ["skus", 0, "onlineOffer", "price", "finalPrice", "currency"]),
+        "price": gj(offer, ["price", "finalPrice", "amount"]),
+        "list_price": gj(offer, ["price", "listPrice", "amount"]),
+        "price_per_unit": gj(offer, ["price", "unitPrice", "amount"]),
+        "currency": gj(offer, ["price", "finalPrice", "currency"]),
         "currency_symbol": "$",
         "rating": gj(prod, ["reviewsAndRatings", "avgRating"]),
         "total_ratings": gj(prod, ["reviewsAndRatings", "numRatings"]),
         "total_reviews": gj(prod, ["reviewsAndRatings", "numReviews"]),
         "description": gj(prod, ["descriptors", "longDescription"]),
+        "main_image": gj(images_entry, [0, "ImageUrl"]),
         "images": [i.get("ImageUrl") for i in images_entry],
         "categories": gj(prod, ["category", "path"]),
         "specifications": specifications,
-        "variants": None,
         "in_stock": None,
         "url": _canonical_url(dom, url),
         "features": features,
-        "shipping_info": message("sidesheet.shipping.upsell.message"),
-        "pickup_info": message("channelbanner.pickup.message"),
     }
-    # Variants via nested-loop→hash join analog (R3) when present.
+    if additional_details:
+        detail["additional_details"] = additional_details
+    # T14 weight / dimensions composites (:288-331).
+    logistics = sku.get("skuLogistics")
+    weight = (logistics or {}).get("weight")
+    if weight:
+        detail["weight"] = (
+            f"{weight.get('value')} {weight.get('unitOfMeasure')}"
+            if weight.get("value") and weight.get("unitOfMeasure") else None)
+        detail["weight_data"] = {"value": weight.get("value"),
+                                 "unit": weight.get("unitOfMeasure")}
+    else:
+        detail["weight"] = detail["weight_data"] = None
+    if logistics:
+        length = logistics.get("length") or {}
+        width = logistics.get("width") or {}
+        height = logistics.get("height") or {}
+        if all(d.get("value") and d.get("unitOfMeasure")
+               for d in (length, width, height)):
+            detail["dimensions"] = (
+                f"{length.get('value')}L x {width.get('value')}W x "
+                f"{height.get('value')}H {length.get('unitOfMeasure')}")
+        else:
+            detail["dimensions"] = None
+        detail["dimensions_data"] = {
+            "box_count": logistics.get("numberOfBoxes"),
+            "length": {"value": length.get("value"),
+                       "unit": length.get("unitOfMeasure")},
+            "width": {"value": width.get("value"),
+                      "unit": width.get("unitOfMeasure")},
+            "height": {"value": height.get("value"),
+                       "unit": height.get("unitOfMeasure")},
+            "is_hazardous": logistics.get("hazardMaterial"),
+        }
+    else:
+        detail["dimensions"] = detail["dimensions_data"] = None
+    # Savings → buying_offers (:335-347).
+    savings = gj(offer, ["price", "savings"])
+    detail["buying_offers"] = {
+        "amount_saved": savings.get("savingsAmount"),
+        "type": gj(savings, ["memberPromotions", 0, "type"]),
+        "max_quantity": savings.get("householdLimit"),
+        "start_date": savings.get("startDate"),
+        "end_date": savings.get("endDate"),
+    } if savings else None
+    # Manufacturing / shipping / pickup / returns (:385-414).
+    warranty_html = gj(prod, ["manufacturingInfo", "warranty"])
+    detail["warranty"] = (
+        tokenize(warranty_html).node_text(0).strip() if warranty_html else "")
+    detail["country_of_origin"] = gj(prod, ["manufacturingInfo",
+                                            "componentCountry"])
+    detail["assembled_in"] = gj(prod, ["manufacturingInfo",
+                                       "assembledCountry"])
+    detail["shipping_info"] = [gj(prod, ["shippingOption", "info"]),
+                               message("sidesheet.shipping.upsell.message")]
+    detail["curbside_pickup"] = message("channelbanner.pickup.message")
+    return_info = sku.get("returnInfo")
+    detail["returns"] = {
+        "location": return_info.get("returnLocation"),
+        "days": return_info.get("returnDays"),
+        "policy_text": return_info.get("returnDescription"),
+        "policy_link": return_info.get("returnLinkUrl"),
+    } if return_info else None
+    # R3 nested-loop → hash-join variant build (:428-455).
+    detail["variants"] = F.join_variant_criteria(
+        gj(prod, ["variantSummary", "variantCriteria"]),
+        gj(prod, ["variantSummary", "variantInfoMap"])) or None
+    # Breadcrumbs (:457-468).
+    breadcrumbs = gj(prod, ["category", "breadcrumbs"])
+    detail["breadcrumbs"] = [
+        {"name": gj(a, ["displayName"]), "url": gj(a, ["seoUrl"]),
+         "nav_id": gj(a, ["navId"])}
+        for a in breadcrumbs
+    ] if breadcrumbs else None
     return _envelope(detail["url"], detail)
 
 

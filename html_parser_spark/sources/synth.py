@@ -304,27 +304,121 @@ def _render_nextdata_detail(p: dict, url: str) -> str:
     )
 
 
-def _render_redux_detail(p: dict, url: str) -> str:
-    # 1.samsclub/parse_samsclub.py:214-222 + HTML fragments inside JSON (P3).
-    spec_table = "<table><tbody>" + "".join(
+def _redux_spec_html(p: dict) -> str:
+    """Spec fragment exercising X4 (plain kv table), X3 (thead-sectioned
+    table with empty-key rows, pid even), and T16 (p/strong props)."""
+    pid = int(p["product_id"])
+    parts = ["<table><tbody>" + "".join(
         f"<tr><td>{s['name']}</td><td>{s['value']}</td></tr>"
         for s in p["specifications"]
-    ) + "</tbody></table>"
+    ) + "</tbody></table>"]
+    if pid % 2 == 0:
+        parts.append(
+            "<table><thead><tr><th>Details</th></tr></thead><tbody>"
+            f"<tr><td>Material</td><td>Steel-{pid % 7}</td></tr>"
+            "<tr><th>Package Contents</th></tr>"
+            f"<tr><td></td><td>Main unit {pid % 5}</td></tr>"
+            "<tr><td></td><td>User manual</td></tr>"
+            "</tbody></table>")
+    parts.append(
+        f"<p><strong>Net Volume: </strong>{pid % 40 + 1}.5 Liters</p>")
+    return "".join(parts)
+
+
+def _redux_logistics(p: dict) -> dict:
+    pid = int(p["product_id"])
+    logi = {
+        "weight": {"value": f"{pid % 50 + 1}", "unitOfMeasure": "lbs"},
+        "length": {"value": f"{pid % 30 + 2}", "unitOfMeasure": "in"},
+        "width": {"value": f"{pid % 20 + 2}", "unitOfMeasure": "in"},
+        "height": {"value": f"{pid % 10 + 2}", "unitOfMeasure": "in"},
+        "numberOfBoxes": pid % 3 + 1,
+        "hazardMaterial": False,
+    }
+    if pid % 2 == 1:          # all-fields guard: dims string must be None
+        del logi["height"]
+    return logi
+
+
+def _redux_variant_summary(p: dict) -> dict:
+    """R3 fixture: criteria × infoMap with one phantom criteria value (no
+    matching info) and one ghost info (no matching criteria value)."""
+    pid = int(p["product_id"])
+    vtype = p["variants"][0]["type"] if p["variants"] else "Color"
+    values = [{"value": v["value"], "imageUrl": p["images"][k % len(p["images"])]}
+              for k, v in enumerate(p["variants"])]
+    criteria = [{"name": vtype,
+                 "values": values + [{"value": "Phantom", "imageUrl": None}]}]
+    info_map = [
+        {"variantSkuId": f"SKU{pid}-{k}", "variantItemGroupId": f"G{pid}",
+         "values": [{"name": vtype, "value": v["value"]}]}
+        for k, v in enumerate(p["variants"])
+    ] + [{"variantSkuId": f"SKU{pid}-X", "variantItemGroupId": f"G{pid}",
+          "values": [{"name": vtype, "value": "Ghost"}]}]
+    return {"variantCriteria": criteria, "variantInfoMap": info_map}
+
+
+def _render_redux_detail(p: dict, url: str) -> str:
+    # 1.samsclub/parse_samsclub.py:214-222 + HTML fragments inside JSON (P3).
+    pid = int(p["product_id"])
     short_desc = "<ul>" + "".join(f"<li>{f}</li>" for f in p["features"]) + "</ul>"
+    savings = {
+        "savingsAmount": round(p["list_price"] - p["price"], 2),
+        "memberPromotions": [{"type": "INSTANT"}],
+        "householdLimit": 2,
+        "startDate": "2025-01-01", "endDate": "2025-12-31",
+    } if pid % 4 == 0 else None
+    price = {
+        "finalPrice": {"amount": p["price"], "currency": p["currency"]},
+        "listPrice": {"amount": p["list_price"]},
+        "unitPrice": {"amount": round(p["price"] / 4, 2)},
+    }
+    if savings:
+        price["savings"] = savings
     state = {
         "cache": {"products": {p["product_id"]: {
             "productId": p["product_id"],
             "descriptors": {"name": p["name"], "shortDescription": short_desc,
                             "longDescription": p["description"]},
-            "manufacturingInfo": {"brand": p["brand"], "specification": spec_table},
-            "skus": [{"onlineOffer": {"price": {
-                "finalPrice": {"amount": p["price"], "currency": p["currency"]},
-                "listPrice": {"amount": p["list_price"]},
-            }}}],
+            "manufacturingInfo": {
+                "brand": p["brand"],
+                "specification": _redux_spec_html(p),
+                "model": f"M-{pid}",
+                "warranty": "<p>1 year manufacturer warranty</p>",
+                "componentCountry": "USA",
+                "assembledCountry": "Mexico",
+            },
+            "skus": [{
+                "skuId": f"SKU{pid}",
+                "onlineOffer": {
+                    "generatedUPC": f"00{pid}7",
+                    "gtin": f"0{pid}",
+                    "itemNumber": str(pid % 100000),
+                    "price": price,
+                },
+                "skuLogistics": _redux_logistics(p),
+                "returnInfo": {
+                    "returnLocation": "Club or Online",
+                    "returnDays": 90,
+                    "returnDescription": "Free returns within 90 days",
+                    "returnLinkUrl":
+                        "https://www.samsclubby.example.com/returns",
+                },
+            }],
+            "shippingOption": {"info": "Ships in 2 business days"},
             "reviewsAndRatings": {"avgRating": p["rating"],
                                   "numReviews": p["total_reviews"],
                                   "numRatings": p["total_ratings"]},
-            "category": {"path": p["categories"]},
+            "category": {
+                "path": p["categories"],
+                "breadcrumbs": [
+                    {"displayName": c,
+                     "seoUrl": "/c/" + c.lower().replace(" ", "-"),
+                     "navId": f"N{k}"}
+                    for k, c in enumerate(p["categories"])
+                ],
+            },
+            "variantSummary": _redux_variant_summary(p),
         }}},
         "productImages": {p["product_id"]: {"images": [{"ImageUrl": u} for u in p["images"]]}},
         "messages": [
@@ -1045,11 +1139,79 @@ def golden_envelope(idx: int) -> Optional[dict]:
         "url": url,
     }
     if profile == "redux-detail":
+        pid = int(p["product_id"])
         detail["features"] = list(p["features"])
-        detail["shipping_info"] = "Free shipping over $35"
-        detail["pickup_info"] = "Pickup available"
-        detail["variants"] = None
         detail["in_stock"] = None
+        detail["sku_id"] = f"SKU{pid}"
+        detail["upc"] = f"00{pid}7"
+        detail["gtin"] = f"0{pid}"
+        detail["item_no"] = str(pid % 100000)
+        detail["model_no"] = f"M-{pid}"
+        detail["main_image"] = p["images"][0]
+        detail["price_per_unit"] = round(p["price"] / 4, 2)
+        # X4 + (even) X3 sectioned table + T16 strong props, X6-normalized.
+        specs = [dict(s) for s in p["specifications"]]
+        if pid % 2 == 0:
+            specs.append({"name": "Material", "value": f"Steel-{pid % 7}"})
+            detail["additional_details"] = [
+                {"name": "Package Contents",
+                 "value": [f"Main unit {pid % 5}", "User manual"]}]
+        specs.append({"name": "Net Volume",
+                      "value": f"{pid % 40 + 1}.5 Liters"})
+        detail["specifications"] = specs
+        # T14 composites.
+        detail["weight"] = f"{pid % 50 + 1} lbs"
+        detail["weight_data"] = {"value": f"{pid % 50 + 1}", "unit": "lbs"}
+        dims = {"length": (f"{pid % 30 + 2}", "in"),
+                "width": (f"{pid % 20 + 2}", "in"),
+                "height": ((f"{pid % 10 + 2}", "in") if pid % 2 == 0
+                           else (None, None))}
+        detail["dimensions"] = (
+            f"{dims['length'][0]}L x {dims['width'][0]}W x "
+            f"{dims['height'][0]}H in" if pid % 2 == 0 else None)
+        detail["dimensions_data"] = {
+            "box_count": pid % 3 + 1,
+            "length": {"value": dims["length"][0], "unit": dims["length"][1]},
+            "width": {"value": dims["width"][0], "unit": dims["width"][1]},
+            "height": {"value": dims["height"][0], "unit": dims["height"][1]},
+            "is_hazardous": False,
+        }
+        detail["buying_offers"] = {
+            "amount_saved": round(p["list_price"] - p["price"], 2),
+            "type": "INSTANT", "max_quantity": 2,
+            "start_date": "2025-01-01", "end_date": "2025-12-31",
+        } if pid % 4 == 0 else None
+        detail["warranty"] = "1 year manufacturer warranty"
+        detail["country_of_origin"] = "USA"
+        detail["assembled_in"] = "Mexico"
+        detail["shipping_info"] = ["Ships in 2 business days",
+                                   "Free shipping over $35"]
+        detail["curbside_pickup"] = "Pickup available"
+        detail["returns"] = {
+            "location": "Club or Online", "days": 90,
+            "policy_text": "Free returns within 90 days",
+            "policy_link": "https://www.samsclubby.example.com/returns",
+        }
+        # R3 join expectation, literal nested loop over the fixture inputs.
+        vtype = p["variants"][0]["type"] if p["variants"] else "Color"
+        vals = [(v["value"], p["images"][k % len(p["images"])])
+                for k, v in enumerate(p["variants"])] + [("Phantom", None)]
+        infos = [(f"SKU{pid}-{k}", v["value"])
+                 for k, v in enumerate(p["variants"])]
+        infos.append((f"SKU{pid}-X", "Ghost"))
+        expected_variants = []
+        for val, img in vals:
+            for sku_id, iv in infos:
+                if iv == val:
+                    expected_variants.append({
+                        "type": vtype, "name": val, "sku_id": sku_id,
+                        "family_sku_id": f"G{pid}", "image_url": img})
+        detail["variants"] = expected_variants or None
+        detail["breadcrumbs"] = [
+            {"name": c, "url": "/c/" + c.lower().replace(" ", "-"),
+             "nav_id": f"N{k}"}
+            for k, c in enumerate(p["categories"])
+        ]
     elif profile == "nextprops-detail":
         hist = p["rating_hist"]
         tot = sum(hist.values())

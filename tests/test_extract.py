@@ -174,3 +174,89 @@ class TestPdf:
 
     def test_not_pdf(self):
         assert not pdfkit.is_pdf(b"<html>")
+
+
+class TestFragmentParsers:
+    """X3/X4/T16 composite + X6 normalizer + R3 join
+    (1.samsclub/parse_samsclub.py:53-170, :341-384, :428-455)."""
+
+    def test_sectioned_table_scalar_to_list_promotion(self):
+        html = ("<table><thead><tr><th>Specs</th></tr></thead><tbody>"
+                "<tr><td>Color</td><td>Red</td></tr>"
+                "<tr><th>Contents</th></tr>"
+                "<tr><td></td><td>One</td></tr>"
+                "<tr><td></td><td>Two</td></tr>"
+                "</tbody></table>")
+        dom = tokenize(html)
+        data = F.parse_sectioned_table(dom, 1)
+        assert data == {"Color": "Red", "Contents": ["One", "Two"]}
+
+    def test_sectioned_table_promotes_existing_scalar(self):
+        # A kv row keyed by the section name, then empty-key rows: the
+        # scalar becomes [old, new] (reference :118-123).
+        html = ("<table><thead><tr><th>Kit</th></tr></thead><tbody>"
+                "<tr><td>Kit</td><td>Base</td></tr>"
+                "<tr><th>Kit</th></tr>"
+                "<tr><td></td><td>Addon</td></tr>"
+                "</tbody></table>")
+        data = F.parse_sectioned_table(tokenize(html), 1)
+        assert data == {"Kit": ["Base", "Addon"]}
+
+    def test_plain_table_items_bucket(self):
+        html = ("<table><tr><td>A</td><td>1</td></tr>"
+                "<tr><td></td><td>loose</td></tr></table>")
+        assert F.parse_plain_table(tokenize(html), 1) == {
+            "A": "1", "Items": ["loose"]}
+
+    def test_strong_props_replace_once(self):
+        html = "<p><strong>Net Volume: </strong>15.99 Liters</p>"
+        assert F.parse_strong_props(tokenize(html)) == {
+            "Net Volume": "15.99 Liters"}
+
+    def test_strong_props_skips_empty(self):
+        html = "<p><strong>OnlyName:</strong></p><p>no strong here</p>"
+        assert F.parse_strong_props(tokenize(html)) == {}
+
+    def test_parse_html_as_data_order(self):
+        html = ("<ul><li>F1</li><li>K: V</li></ul>"
+                "<table><tr><td>A</td><td>1</td></tr></table>"
+                "<p><strong>W:</strong> 2 kg</p>")
+        parsed = F.parse_html_as_data(tokenize(html))
+        assert parsed == [["F1", "K: V"], {"A": "1"}, {"W": "2 kg"}]
+
+    def test_orphan_li_fallback(self):
+        parsed = F.parse_html_as_data(tokenize("<li>a</li><li>b</li>"))
+        assert parsed == [["a", "b"]]
+
+    def test_normalize_specs(self):
+        specs, extra = F.normalize_specs(
+            [["Plain feature", "K: V"],
+             {"A": "1", "Contents": ["x", "y"]},
+             {"W": "2 kg"}])
+        assert specs == [
+            {"name": "Feature", "value": "Plain feature"},
+            {"name": "K", "value": "V"},
+            {"name": "A", "value": "1"},
+            {"name": "W", "value": "2 kg"},
+        ]
+        assert extra == [{"name": "Contents", "value": ["x", "y"]}]
+
+    def test_normalize_specs_empty(self):
+        assert F.normalize_specs([]) == (None, None)
+
+    def test_join_variant_criteria(self):
+        criteria = [{"name": "Color", "values": [
+            {"value": "Red", "imageUrl": "r.jpg"},
+            {"value": "Phantom", "imageUrl": None}]}]
+        info_map = [
+            {"variantSkuId": "S1", "variantItemGroupId": "G",
+             "values": [{"name": "Color", "value": "Red"}]},
+            {"variantSkuId": "S2", "variantItemGroupId": "G",
+             "values": [{"name": "Size", "value": "Red"}]},  # wrong type
+        ]
+        assert F.join_variant_criteria(criteria, info_map) == [
+            {"type": "Color", "name": "Red", "sku_id": "S1",
+             "family_sku_id": "G", "image_url": "r.jpg"}]
+
+    def test_join_variant_criteria_empty(self):
+        assert F.join_variant_criteria(None, None) == []
