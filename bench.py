@@ -45,7 +45,7 @@ def _session(cores: int):
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
@@ -64,9 +64,13 @@ def _timed(df_factory, repeats: int = 2) -> float:
 
 
 def corpus_path() -> str:
-    from html_parser_spark.sources.synth import PROFILES
-    # Version the corpus by profile-mix so renderer changes invalidate it.
-    return os.path.join(BENCH_DIR, f"pages_p{len(PROFILES)}_n{N_PAGES}_f{FILLER}")
+    import hashlib
+    from html_parser_spark.sources import synth
+    # Version the corpus by renderer source hash so any synth change
+    # invalidates the cached parquet.
+    with open(synth.__file__, "rb") as f:
+        tag = hashlib.md5(f.read()).hexdigest()[:8]
+    return os.path.join(BENCH_DIR, f"pages_{tag}_n{N_PAGES}_f{FILLER}")
 
 
 def ensure_corpus(spark) -> str:
@@ -103,19 +107,77 @@ def run_extract(spark, path: str, repeats: int = 2) -> tuple[float, int]:
     return best, n_ok
 
 
+def _level_child() -> None:
+    """Child process for one scaling level: pin this process (and the JVM
+    it spawns) to its own N-CPU set, so every level emulates a machine that
+    fully owns N cores — the cluster-faithful N vs 4N proxy. Unpinned, a
+    small level borrows the idle box's cache/bandwidth headroom and the
+    comparison under-reports real multi-node scaling."""
+    cores = int(sys.argv[sys.argv.index("--level") + 1])
+    os.sched_setaffinity(0, set(range(cores)))
+    spark = _session(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    dt, n_ok = run_extract(spark, corpus_path(), repeats=3)
+    print(json.dumps({"sec": round(dt, 3),
+                      "docs_per_sec": round(N_PAGES / dt, 1),
+                      "n_ok": n_ok}))
+    spark.stop()
+
+
+def _ensure_corpus_child() -> None:
+    s0 = _session(CPUS)
+    s0.sparkContext.setLogLevel("ERROR")
+    ensure_corpus(s0)
+    s0.stop()
+
+
+def _run_scaling_levels() -> dict:
+    """Run the three pinned levels, each in a subprocess with NO other JVM
+    alive (a lingering stopped-session JVM measurably slows the 32-core
+    leg: 3119 → 1751 docs/s observed)."""
+    import subprocess
+    levels = {}
+    for cores in (2, 8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--level", str(cores)],
+            capture_output=True, text=True, check=True)
+        levels[str(cores)] = json.loads(out.stdout.strip().splitlines()[-1])
+    t2 = levels["2"]["docs_per_sec"]
+    t8 = levels["8"]["docs_per_sec"]
+    t32 = levels["32"]["docs_per_sec"]
+    return {
+        "levels": levels,
+        "protocol": "per-level subprocess pinned to its own N-CPU set, "
+                    "fresh JVM, no other JVM alive, one warm pass then "
+                    "best-of-3",
+        "efficiency_2_to_8": round(t8 / (4 * t2), 3),
+        "efficiency_8_to_32": round(t32 / (4 * t8), 3),
+    }
+
+
 def main() -> None:
+    if "--level" in sys.argv:
+        _level_child()
+        return
+    if "--ensure-corpus" in sys.argv:
+        _ensure_corpus_child()
+        return
     scaling = "--scaling" in sys.argv
     import __spark_entry__ as E
 
     # Corpus generation is heavy (20k rendered pages); do it in a throwaway
-    # session so the timed session starts with a clean JVM heap — measured
-    # 44 s vs 12 s for the same extract job otherwise (GC debt).
+    # subprocess so the timed session starts with a clean JVM heap —
+    # measured 44 s vs 12 s for the same extract job otherwise (GC debt).
     path = corpus_path()
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        s0 = _session(CPUS)
-        s0.sparkContext.setLogLevel("ERROR")
-        ensure_corpus(s0)
-        s0.stop()
+        import subprocess
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--ensure-corpus"], check=True,
+                       capture_output=True)
+
+    # Scaling levels BEFORE the parent JVM exists (see _run_scaling_levels).
+    scaling_result = _run_scaling_levels() if scaling else None
 
     spark = _session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -147,29 +209,10 @@ def main() -> None:
         "ok_rate": round(n_ok / N_PAGES, 4),
     }
 
-    if scaling:
-        # Two N→4N pairs: 2→8 and 8→32 cores. On a single box the 32-thread
-        # level is bounded by shared memory bandwidth / turbo-frequency drop
-        # (multiprocessing ceiling measured ~0.64 on this host — see
-        # BASELINE.md), an artifact real N→4N *executor* scaling doesn't
-        # have; 2→8 is the hardware-fair proxy.
-        spark.stop()
-        levels = {}
-        for cores in (2, 8, 32):
-            s = _session(cores)
-            s.sparkContext.setLogLevel("ERROR")
-            dt, _ = run_extract(s, path)
-            levels[str(cores)] = {"sec": round(dt, 3),
-                                  "docs_per_sec": round(N_PAGES / dt, 1)}
-            s.stop()
-        t2 = levels["2"]["docs_per_sec"]
-        t8 = levels["8"]["docs_per_sec"]
-        t32 = levels["32"]["docs_per_sec"]
-        result["scaling"] = {
-            "levels": levels,
-            "efficiency_2_to_8": round(t8 / (4 * t2), 3),
-            "efficiency_8_to_32": round(t32 / (4 * t8), 3),
-        }
+    if scaling_result is not None:
+        # Two N-to-4N pairs documented in BASELINE.md; see
+        # _run_scaling_levels for the pinned-subprocess protocol.
+        result["scaling"] = scaling_result
     print(json.dumps(result))
 
 

@@ -140,6 +140,15 @@ def regex_scalar(text: Optional[str], pattern: str) -> Optional[str]:
     return m.group(1) if m else None
 
 
+def regex_all(text: Optional[str], pattern: str) -> list[str]:
+    """``findall`` variant of J3 — e.g. every ``cdn_url: '…',`` in the
+    itemDetailsList script (costco/parse_costco.py:125-132); Spark-native
+    twin is ``regexp_extract_all``."""
+    if text is None:
+        return []
+    return re.findall(pattern, text, re.DOTALL)
+
+
 def unescape_embedded_json(escaped: str) -> Any:
     """Double-escaped JSON decode (J4, bestbuy/parse_bestbuy_detai.py:24-28):
     first ``json.loads`` of the string literal, then of the payload."""

@@ -161,15 +161,26 @@ def _match_chain(dom: FlatDOM, i: int, chain: list) -> bool:
     return True
 
 
-def select(dom: FlatDOM, selector: str, limit: int = 0) -> list[int]:
-    """All matching element node ids in document order."""
+def select(dom: FlatDOM, selector: str, limit: int = 0,
+           root: Optional[int] = None) -> list[int]:
+    """All matching element node ids in document order. ``root`` restricts
+    matches to the subtree strictly below that node (subtrees are
+    contiguous spans of the flattened arrays, so this is a range slice)."""
     comp = compile_selector(selector)
     out: list[int] = []
     tags = dom.tags
+    lo, hi = 1, len(dom)
+    if root is not None:
+        depth = dom.depth
+        lo = root + 1
+        hi = lo
+        d = depth[root]
+        while hi < len(dom) and depth[hi] > d:
+            hi += 1
     for chain in comp.chains:
         last = chain[-1][0]
         # Vectorized-ish pre-filter on tag name when present.
-        for i in range(1, len(dom)):
+        for i in range(lo, hi):
             t = tags[i]
             if t[0] == "#":  # text/comment
                 continue
@@ -184,8 +195,9 @@ def select(dom: FlatDOM, selector: str, limit: int = 0) -> list[int]:
     return out
 
 
-def select_one(dom: FlatDOM, selector: str) -> Optional[int]:
-    res = select(dom, selector, limit=1)
+def select_one(dom: FlatDOM, selector: str,
+               root: Optional[int] = None) -> Optional[int]:
+    res = select(dom, selector, limit=1, root=root)
     return res[0] if res else None
 
 

@@ -361,23 +361,69 @@ def extract_inline_js_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[
     # Q5: <p> containing "Features:" → following sibling <ul> (:160-200).
     features = _sibling_ul_items(dom, "Features:")
     dims = _sibling_ul_items(dom, "Dimensions and Weight:")
-    specifications = [
-        {"name": d.split(": ", 1)[0], "value": d.split(": ", 1)[1]}
-        for d in dims if ": " in d
-    ] or None
+    extra_dims = _sibling_ul_items(dom, "Additional Dimensions:")
+    # Specifications section: h3.section-title → next sibling div →
+    # div.row two-cell pairs (:203-219).
+    specifications = None
+    for h3 in S.select(dom, "h3.section-title"):
+        if "Specifications" not in dom.node_text(h3):
+            continue
+        sib = _next_sibling(dom, h3, "div")
+        if sib is not None:
+            rows = [
+                {"name": dom.node_text(cells[0]).strip(),
+                 "value": dom.node_text(cells[1]).strip()}
+                for row in S.select(dom, "div.row", root=sib)
+                if len(cells := [c for c in dom.children(row)
+                                 if dom.tags[c] == "div"]) == 2
+            ]
+            specifications = rows or None
+        break
+    # T19: "Includes:" text after the marker, comma-split (:160-164).
+    includes = None
+    for p in S.select(dom, "p"):
+        text = dom.node_text(p)
+        if "Includes:" in text:
+            includes = [i.strip()
+                        for i in text.split("Includes:", 1)[1].split(",")]
+            break
+    # Model numbers / pills / manuals (:100-117, :222-232).
+    model_numbers = [
+        dom.node_text(s).strip()
+        for d in S.select(dom, "div.item-model-number")
+        if (s := S.select_one(dom, "span[itemprop=sku]", root=d)) is not None
+    ]
+    pills_root = S.select_one(dom, "div.pills-section")
+    pills = [dom.node_text(d).strip()
+             for d in S.select(dom, "div.single-pill", root=pills_root)
+             ] if pills_root is not None else []
+    manuals_root = S.select_one(dom, "figure.product-manuals")
+    manuals = [
+        dom.attr(a, "href")
+        for li in S.select(dom, "li", root=manuals_root)
+        if (a := S.select_one(dom, "a", root=li)) is not None
+    ] if manuals_root is not None else []
+    # Per-child text accumulation with trailing newlines (:235-260).
+    warning_n = S.select_one(dom, "div.prop65warning")
+    currency_n = S.select_one(dom, "span.currency")
+    main_image = F.strip_query(meta("og:image"))  # T9
     detail = {
         "product_id": pid,
         "name": meta("og:title"),
         "brand": F.collapse_ws(dom.node_text(brand_node)) if brand_node else None,
         "price": price,
         "list_price": list_price,
-        "currency": "USD",
+        "price_listing": list_price,
+        "currency": (dom.node_text(currency_n).strip()
+                     if currency_n is not None else "USD"),
         "currency_symbol": "$",
         "rating": None,
         "total_ratings": None,
         "total_reviews": None,
         "description": meta("og:description"),
-        "images": [cdn] if cdn else [],
+        "main_image": main_image,
+        "images": C.regex_all(script, r"cdn_url:\s*'([^']*)',") or
+                  ([cdn] if cdn else []),
         "categories": None,
         "specifications": specifications,
         "variants": variants,
@@ -385,8 +431,49 @@ def extract_inline_js_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[
         "url": _canonical_url(dom, url),
         "sku": sku,
         "features": features or None,
+        "dimensions_weight": dims or None,
+        "additional_dimensions": extra_dims or None,
+        "includes": includes,
+        "model_numbers": model_numbers or None,
+        "pills": pills or None,
+        "manuals_guides": manuals or None,
+        "product_label": None,   # img[alt='Product Label'] a — dead branch
+                                 # in the reference (:145-150), always None
+        "warning": (dom.node_text(warning_n).strip()
+                    if warning_n is not None else None),
+        "shipping": _contents_text(dom, "div.product-info-shipping"),
+        "returns": _contents_text(dom, "div.product-info-returns"),
     }
     return _envelope(detail["url"], detail)
+
+
+def _next_sibling(dom: FlatDOM, node: int, tag: str) -> Optional[int]:
+    """``find_next_sibling(tag)`` (costco/parse_costco.py:165-208)."""
+    sibs = dom.children(dom.parent[node])
+    try:
+        at = sibs.index(node)
+    except ValueError:
+        return None
+    for s in sibs[at + 1:]:
+        if dom.tags[s] == tag:
+            return s
+    return None
+
+
+def _contents_text(dom: FlatDOM, selector: str) -> str:
+    """Per-child text accumulation, each non-empty child followed by a
+    newline (costco/parse_costco.py:235-260)."""
+    root = S.select_one(dom, selector)
+    if root is None:
+        return ""
+    out = []
+    for child in dom.children(root):
+        t = (dom.texts[child] if dom.tags[child] == "#text"
+             else dom.node_text(child)) or ""
+        t = t.strip()
+        if t:
+            out.append(t + "\n")
+    return "".join(out)
 
 
 def _sibling_ul_items(dom: FlatDOM, marker: str) -> list[str]:
@@ -420,6 +507,10 @@ def extract_pixels_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dic
         script, r"window\.salesforce\s*=\s*\{datalayer:\s*\{product:\s*(\{.*?\})\}\};")
     if prod is None:
         return None
+    product_variants = C.regex_json(
+        script, r"const productVariants\s*=\s*(\[.*?\])\s*\n") or []
+    reviews = C.regex_json(script, r"const reviews\s*=\s*(\{.*?\})\s*\n") or {}
+    init_data = C.regex_json(script, r"const initData\s*=\s*(\{.*?\})\s*\n")
     # X1 sectionizer over the description lines (:205-229).
     lines = (gj(desc, ["description"]) or "").split("\n")
     buckets = F.sectionize_lines(
@@ -437,26 +528,68 @@ def extract_pixels_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dic
             src = dom.attr(img, "data-src") or dom.attr(img, "src")
             if src and not src.startswith("data:"):
                 images.append(F.prefix_url("", src))
+    rollup = gj(reviews, ["rollup"]) or {}
     detail = {
         "product_id": str(prod.get("id")),
+        "listing_id": gj(product_variants, [0, "product", "id"]),
         "name": prod.get("title"),
         "brand": prod.get("vendor"),
         "price": prod.get("price"),
         "list_price": prod.get("compare_at_price"),
         "currency": prod.get("currency"),
         "currency_symbol": "$",
-        "rating": prod.get("rating"),
-        "total_ratings": prod.get("ratings_count"),
-        "total_reviews": prod.get("reviews_count"),
+        # Reviews payload (PowerReviews shape, overstock:151-156,274):
+        # rollup wins over the datalayer mirror.
+        "rating": rollup.get("average_rating", prod.get("rating")),
+        "total_ratings": rollup.get("rating_count", prod.get("ratings_count")),
+        "total_reviews": rollup.get("review_count", prod.get("reviews_count")),
         "description": " ".join(buckets["description"]),
+        "main_image": ("https:" + src
+                       if (src := gj(product_variants, [0, "image", "src"]))
+                       else None),
         "images": images,
         "categories": gj(missing, ["categories"]),
         "specifications": specifications,
-        "variants": None,
         "in_stock": prod.get("available"),
         "url": _canonical_url(dom, url),
         "features": buckets["features"] or None,
+        "max_quantity": gj(prod, ["inventory", 0, "quantity"]),
+        "variant": ({"id": gj(product_variants, [0, "id"])}
+                    if product_variants else None),
+        # Full variant struct projection (overstock:240-252).
+        "variants": [
+            {"price": gj(v, ["price", "amount"]),
+             "currency_code": gj(v, ["price", "currencyCode"]),
+             "title": gj(v, ["product", "title"]),
+             "vendor": gj(v, ["product", "vendor"]),
+             "id": gj(v, ["id"]),
+             "image": gj(v, ["image", "src"]),
+             "sku": gj(v, ["sku"]),
+             "variant_title": gj(v, ["title"])}
+            for v in product_variants
+        ] or None,
+        # Overview from the datalayer attributeList (overstock:195-201,232).
+        "overview": [
+            {"name": gj(a, ["label"]), "value": gj(a, ["values"])}
+            for a in gj(prod, ["attributeList"]) or []
+        ] or None,
+        # Review aspects projection (overstock:257-271).
+        "review_aspects": [
+            {"name": gj(r, ["details", "nickname"]),
+             "headline": gj(r, ["details", "headline"]),
+             "comments": gj(r, ["details", "comments"]),
+             "rating": gj(r, ["metrics", "rating"]),
+             "helpful_votes": gj(r, ["metrics", "helpful_votes"]),
+             "not_helpful_votes": gj(r, ["metrics", "not_helpful_votes"]),
+             "helpful_score": gj(r, ["metrics", "helpful_score"]),
+             "is_staff_reviewer": gj(r, ["badges", "is_staff_reviewer"]),
+             "is_verified_buyer": gj(r, ["badges", "is_verified_buyer"]),
+             "is_verified_reviewer": gj(r, ["badges", "is_verified_reviewer"])}
+            for r in gj(reviews, ["reviews"]) or []
+        ] or None,
+        "country_of_origin": gj(init_data, ["shop", "countryCode"]),
     }
+    detail["details_table"] = detail["overview"]
     return _envelope(detail["url"], detail)
 
 
@@ -484,9 +617,47 @@ def extract_escaped_component_detail(dom: FlatDOM, scripts: list,
         (dom.attr(i, "src") or "").split(";")[0]
         for i in S.select(dom, "img.gallery-image")
     ])
-    # R11/R12: breadcrumbs skip-first + name/url zip (:75-83).
-    crumbs = [F.collapse_ws(dom.node_text(li))
-              for li in S.select(dom, "li.crumb")][1:]
+    # R11/R12: breadcrumbs skip-first + name/url zip (:75-86).
+    crumbs = [
+        {"name": F.collapse_ws(dom.node_text(li)),
+         "url": dom.attr(a, "href") if (a := S.select_one(dom, "a", root=li))
+                is not None else None}
+        for li in S.select(dom, "li.crumb")
+    ][1:]
+    # componentData second-script carve (:93-122): substring from the 2nd
+    # '{' to the last '}', single-unescape, then conditional components.
+    comp_script = C.script_containing(scripts, "componentData")
+    component_description = None
+    included_items: list = []
+    product_features: list = []
+    energy_star = False
+    model_no = None
+    if comp_script is not None:
+        first = comp_script.find("{")
+        start = comp_script.find("{", first + 1)
+        end = comp_script.rfind("}")
+        data2 = (C.unescape_embedded_json(comp_script[start:end + 1])
+                 if 0 <= first < start <= end else None)
+        cd = gj(data2, ["app", "componentData"])
+        if cd:
+            if gj(cd, ["product-description", "shouldRenderComponent"]):
+                frags = gj(cd, ["product-description", "description",
+                                "longDescription", "parsedHtmlFragments"]) or []
+                component_description = " ".join(
+                    f["plainText"] for f in frags if "plainText" in f)
+            if gj(cd, ["whats-included", "shouldRenderComponent"]):
+                included_items = [
+                    i.get("description")
+                    for i in gj(cd, ["whats-included", "includedItems"]) or []]
+            model_no = gj(cd, ["product-features", "modelNumber"])
+            if gj(cd, ["product-features", "shouldRenderComponent"]):
+                product_features = [
+                    {"name": f.get("title"), "value": f.get("description")}
+                    for f in gj(cd, ["product-features", "features"]) or []]
+            if gj(cd, ["product-energy-ratings", "shouldRenderComponent"]):
+                energy_star = bool(gj(cd, ["product-energy-ratings",
+                                           "energyRatings",
+                                           "energyStarCertified"]))
     # T13: in_stock = any button text containing "Add to Cart" (:70-71).
     in_stock = any("Add to Cart" in dom.node_text(b)
                    for b in S.select(dom, "button"))
@@ -508,7 +679,9 @@ def extract_escaped_component_detail(dom: FlatDOM, scripts: list,
         "rating": float(rm.group(1)) if rm else None,
         "total_ratings": None,
         "total_reviews": F.parse_int(rm.group(2)) if rm else None,
-        "description": F.collapse_ws(dom.node_text(desc_n)) if desc_n is not None else None,
+        "description": component_description or (
+            F.collapse_ws(dom.node_text(desc_n))
+            if desc_n is not None else None),
         "images": images,
         "categories": crumbs,
         "specifications": specifications,
@@ -517,6 +690,10 @@ def extract_escaped_component_detail(dom: FlatDOM, scripts: list,
         "url": _canonical_url(dom, url),
         "upc": app.get("upc"),
         "sku": str(app.get("sku")) if app.get("sku") else None,
+        "included_items": included_items,
+        "product_features": product_features,
+        "model_no": model_no,
+        "is_energy_star_certified": energy_star,
     }
     return _envelope(detail["url"], detail)
 

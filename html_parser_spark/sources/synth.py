@@ -495,15 +495,24 @@ def _render_inline_js_detail(p: dict, url: str) -> str:
         "};\n"
         f"var products = {products_js};\n"
         f"var options = {options_js};\n"
-        f"var itemDetailsList = ['{p['product_id']}'];"
+        "var itemDetailsList = ["
+        + "".join("{cdn_url: '%s',}," % u for u in p["images"])
+        + "];"
     )
+    pid = int(p["product_id"])
     feats = "".join(f"<li>{f}</li>" for f in p["features"])
     dims = "".join(
         f"<li>{s['name']}: {s['value']}</li>" for s in p["specifications"]
     )
+    extra_dims = (f"<li>Depth: {pid % 12 + 1} in</li>"
+                  f"<li>Clearance: {pid % 6 + 1} in</li>")
+    spec_rows = "".join(
+        f'<div class="row"><div>{s["name"]}</div><div>{s["value"]}</div></div>'
+        for s in p["specifications"])
     og = (
         f'<meta property="og:title" content="{p["name"]}">'
         f'<meta property="og:description" content="{p["description"]}">'
+        f'<meta property="og:image" content="{p["images"][0]}?size=large">'
         f'<link rel="canonical" href="{url}?ref=track">'
     )
     return (
@@ -512,9 +521,28 @@ def _render_inline_js_detail(p: dict, url: str) -> str:
         + f"<h1>{p['name']}</h1>"
         + f'<div itemprop="brand">{p["brand"]}</div>'
         + f'<span class="price">${p["price"]:.2f}</span>'
+        + '<span class="currency">USD</span>'
+        + f'<div class="item-model-number">Model <span itemprop="sku">M-{pid}</span></div>'
+        + '<div class="pills-section">'
+        + f'<div class="single-pill">Top Seller {pid % 3}</div>'
+        + '<div class="single-pill">Member Favorite</div></div>'
         + f'<div class="description"><p>{p["description"]}</p></div>'
+        + f"<p>Includes: Unit {pid % 4}, Manual, Power cable</p>"
         + f"<p>Features: includes the following</p><ul>{feats}</ul>"
         + f"<p>Dimensions and Weight: see below</p><ul>{dims}</ul>"
+        + f"<p>Additional Dimensions: more</p><ul>{extra_dims}</ul>"
+        + '<h3 class="section-title">Specifications</h3>'
+        + f'<div class="spec-section">{spec_rows}</div>'
+        + '<figure class="product-manuals"><ul>'
+        + f'<li><a href="/manuals/{pid}.pdf">Owner manual</a></li>'
+        + f'<li><a href="/manuals/{pid}-guide.pdf">Quick guide</a></li>'
+        + "</ul></figure>"
+        + '<div class="product-info-shipping">Standard shipping'
+        + "<span>2-5 business days</span></div>"
+        + '<div class="product-info-returns">Returns accepted'
+        + "<span>within 30 days</span></div>"
+        + ('<div class="prop65warning">WARNING: California Prop 65</div>'
+           if pid % 2 == 0 else "")
         + "</article></main>"
         + f"<script>{inline}</script>"
         + _FOOTER
@@ -524,6 +552,7 @@ def _render_inline_js_detail(p: dict, url: str) -> str:
 def _render_pixels_detail(p: dict, url: str) -> str:
     # overstock/parse_overstock.py:79-110 (3 carved blobs + scalars),
     # :182-189 (data-src images), :205-229 (sectionizer X1 description).
+    pid = int(p["product_id"])
     product_js = json.dumps({
         "id": p["product_id"], "title": p["name"], "vendor": p["brand"],
         "price": p["price"], "compare_at_price": p["list_price"],
@@ -531,16 +560,47 @@ def _render_pixels_detail(p: dict, url: str) -> str:
         "rating": p["rating"], "reviews_count": p["total_reviews"],
         "ratings_count": p["total_ratings"],
         "available": p["in_stock"],
+        "inventory": [{"quantity": pid % 10 + 1}],
+        "attributeList": [{"label": s["name"], "values": s["value"]}
+                          for s in p["specifications"]],
     })
     missing = json.dumps({"categories": p["categories"]})
     desc_lines = [p["description"], "Features:"] + p["features"] + [
         "Dimensions:",
     ] + [f"{s['name']}: {s['value']}" for s in p["specifications"]]
     desc_blob = json.dumps({"description": "\n".join(desc_lines)})
+    variants_js = json.dumps([
+        {"id": 7000 + k,
+         "price": {"amount": p["price"], "currencyCode": p["currency"]},
+         "product": {"id": f"L{pid}", "title": p["name"],
+                     "vendor": p["brand"]},
+         "image": {"src": f"//img.overrock.example.com/v/{pid}/{k}.jpg"},
+         "sku": f"OS{pid}-{k}", "title": v["value"]}
+        for k, v in enumerate(p["variants"])
+    ])
+    reviews_js = json.dumps({
+        "rollup": {"average_rating": p["rating"],
+                   "rating_count": p["total_ratings"],
+                   "review_count": p["total_reviews"]},
+        "reviews": [
+            {"details": {"nickname": f"user{k}", "headline": f"Review {k}",
+                         "comments": f"Comment body {k} for {pid}"},
+             "metrics": {"rating": (pid + k) % 5 + 1, "helpful_votes": k,
+                         "not_helpful_votes": (k + 1) % 2,
+                         "helpful_score": 50 + k},
+             "badges": {"is_staff_reviewer": False,
+                        "is_verified_buyer": k % 2 == 0,
+                        "is_verified_reviewer": True}}
+            for k in range(pid % 3 + 1)
+        ],
+    })
     inline = (
         "webPixelsManagerAPI = {};\n"
         f"const missingAttributes = {missing}\n"
         f"const scripts = {desc_blob}\n"
+        f"const productVariants = {variants_js}\n"
+        f"const reviews = {reviews_js}\n"
+        'const initData = {"shop": {"countryCode": "US"}}\n'
         f"window.salesforce = {{datalayer: {{product: {product_js}}}}};\n"
         f"var merchant_id = '{1000 + int(p['product_id']) % 97}';\n"
         f"var api_key = 'ak_{p['product_id']}';\n"
@@ -595,6 +655,39 @@ def _render_escaped_component_detail(p: dict, url: str) -> str:
         'window.initializer = {};'
         f'initializer.initializeComponent({{"data": "{escaped}"}});'
     )
+    # Second script: componentData carve (bestbuy:93-122) — one '{' before
+    # the escaped payload so "find 2nd '{'" lands on the payload start.
+    pid = int(p["product_id"])
+    component_data = {"app": {"componentData": {
+        "product-description": {
+            "shouldRenderComponent": True,
+            "description": {"longDescription": {"parsedHtmlFragments": [
+                {"plainText": p["description"]},
+                {"html": "<b>markup-only fragment</b>"},
+                {"plainText": "Extra details."},
+            ]}},
+        },
+        "whats-included": {
+            "shouldRenderComponent": pid % 2 == 0,
+            "includedItems": [{"description": f"Unit {pid % 4}"},
+                              {"description": "Manual"}],
+        },
+        "product-features": {
+            "shouldRenderComponent": True,
+            "modelNumber": f"BB-{pid}",
+            "features": [{"title": f"Feature {k}", "description": feat}
+                         for k, feat in enumerate(p["features"])],
+        },
+        "product-energy-ratings": {
+            "shouldRenderComponent": pid % 3 == 0,
+            "energyRatings": {"energyStarCertified": pid % 6 == 0},
+        },
+    }}}
+    comp2_escaped = json.dumps(json.dumps(component_data))[1:-1]
+    inline2 = (
+        "window.bbState = {}; "
+        f'initializer.getInitializer("componentData", "{comp2_escaped}");'
+    )
     return (
         _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
         + f'<ol class="breadcrumb-list">{crumbs}</ol>'
@@ -607,6 +700,7 @@ def _render_escaped_component_detail(p: dict, url: str) -> str:
         + imgs
         + "</article></main>"
         + f"<script>{inline}</script>"
+        + f"<script>{inline2}</script>"
         + f'<script id="shop-specifications" type="application/json">{json.dumps(shop_specs)}</script>'
         + _FOOTER
     )
@@ -1224,6 +1318,7 @@ def golden_envelope(idx: int) -> Optional[dict]:
             for k, v in enumerate(p["variants"])
         ]
     elif profile == "inline-js-detail":
+        pid = int(p["product_id"])
         detail["sku"] = f"SKU{p['product_id']}"
         detail["features"] = list(p["features"])
         detail["categories"] = None
@@ -1235,19 +1330,71 @@ def golden_envelope(idx: int) -> Optional[dict]:
             {"type": "Color", "value": v["value"], "available": v["available"]}
             for v in p["variants"]
         ]
-        detail["images"] = [p["images"][0]]
+        detail["price_listing"] = round(p["list_price"], 2)
+        detail["main_image"] = p["images"][0]
+        detail["images"] = list(p["images"])
+        detail["dimensions_weight"] = [
+            f"{s['name']}: {s['value']}" for s in p["specifications"]]
+        detail["additional_dimensions"] = [
+            f"Depth: {pid % 12 + 1} in", f"Clearance: {pid % 6 + 1} in"]
+        detail["includes"] = [f"Unit {pid % 4}", "Manual", "Power cable"]
+        detail["model_numbers"] = [f"M-{pid}"]
+        detail["pills"] = [f"Top Seller {pid % 3}", "Member Favorite"]
+        detail["manuals_guides"] = [f"/manuals/{pid}.pdf",
+                                    f"/manuals/{pid}-guide.pdf"]
+        detail["product_label"] = None
+        detail["warning"] = ("WARNING: California Prop 65"
+                             if pid % 2 == 0 else None)
+        detail["shipping"] = "Standard shipping\n2-5 business days\n"
+        detail["returns"] = "Returns accepted\nwithin 30 days\n"
     elif profile == "pixels-detail":
+        pid = int(p["product_id"])
         detail["features"] = list(p["features"])
         detail["specifications"] = [dict(s) for s in p["specifications"]]
-        detail["variants"] = None
         detail["product_id"] = p["product_id"]
+        detail["listing_id"] = f"L{pid}"
+        detail["main_image"] = f"https://img.overrock.example.com/v/{pid}/0.jpg"
+        detail["max_quantity"] = pid % 10 + 1
+        detail["variant"] = {"id": 7000} if p["variants"] else None
+        detail["variants"] = [
+            {"price": p["price"], "currency_code": p["currency"],
+             "title": p["name"], "vendor": p["brand"], "id": 7000 + k,
+             "image": f"//img.overrock.example.com/v/{pid}/{k}.jpg",
+             "sku": f"OS{pid}-{k}", "variant_title": v["value"]}
+            for k, v in enumerate(p["variants"])
+        ] or None
+        overview = [{"name": s["name"], "value": s["value"]}
+                    for s in p["specifications"]] or None
+        detail["overview"] = overview
+        detail["details_table"] = overview
+        detail["review_aspects"] = [
+            {"name": f"user{k}", "headline": f"Review {k}",
+             "comments": f"Comment body {k} for {pid}",
+             "rating": (pid + k) % 5 + 1, "helpful_votes": k,
+             "not_helpful_votes": (k + 1) % 2, "helpful_score": 50 + k,
+             "is_staff_reviewer": False, "is_verified_buyer": k % 2 == 0,
+             "is_verified_reviewer": True}
+            for k in range(pid % 3 + 1)
+        ]
+        detail["country_of_origin"] = "US"
     elif profile == "escaped-component-detail":
+        pid = int(p["product_id"])
         detail["upc"] = f"0{p['product_id']}8"
         detail["sku"] = p["product_id"]
-        detail["categories"] = list(p["categories"])  # breadcrumbs minus site root
+        # breadcrumbs minus site root, name/url zipped (R11/R12)
+        detail["categories"] = [
+            {"name": c, "url": f"/c/{c.lower()}"} for c in p["categories"]]
         detail["variants"] = None
         detail["rating"] = float(f"{p['rating']:.1f}")
         detail["total_ratings"] = None
+        detail["description"] = p["description"] + " Extra details."
+        detail["included_items"] = (
+            [f"Unit {pid % 4}", "Manual"] if pid % 2 == 0 else [])
+        detail["product_features"] = [
+            {"name": f"Feature {k}", "value": feat}
+            for k, feat in enumerate(p["features"])]
+        detail["model_no"] = f"BB-{pid}"
+        detail["is_energy_star_certified"] = pid % 6 == 0 and pid % 3 == 0
     elif profile == "webpack-detail":
         detail["sku"] = f"W{p['product_id']}"
         detail["product_id"] = f"W{p['product_id']}"
