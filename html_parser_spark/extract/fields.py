@@ -327,6 +327,38 @@ def sectionize_lines(lines: list[str],
     return buckets
 
 
+def sectionize_children(dom: FlatDOM,
+                        root: int = 0) -> tuple[str, list[str], list[str]]:
+    """X2 DOM-child state machine (bedbathbeyond/parse_bedbathbeyond.py:
+    162-191): walk the fragment's top-level element children; a child whose
+    text equals ``features:``/``dimensions:`` switches state; details
+    children accumulate text + newline; features/dimensions children are
+    REPLACED by their ``<li>`` texts (assignment, not extend — last wins,
+    mirroring the reference)."""
+    description = ""
+    features: list[str] = []
+    dimensions: list[str] = []
+    status = "details"
+    for child in dom.children(root):
+        if dom.tags[child][0] == "#":  # text/comment children skipped
+            continue
+        t = dom.node_text(child)
+        key = t.strip().lower()
+        if key == "features:":
+            status = "features"
+        elif key == "dimensions:":
+            status = "dimensions"
+        elif status == "details":
+            if t.strip() == "":
+                continue
+            description += t + "\n"
+        elif status == "features":
+            features = parse_ul(dom, child)
+        elif status == "dimensions":
+            dimensions = parse_ul(dom, child)
+    return description, features, dimensions
+
+
 def weighted_rating(hist: Optional[dict]) -> float:
     """T18/R6: Σ(star×count)/Σcount, 0 if empty
     (bedbathbeyond/parse_bedbathbeyond.py:102-109)."""

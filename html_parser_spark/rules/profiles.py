@@ -134,20 +134,50 @@ def extract_nextdata_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dic
         return None
     items = gj(sr, ["itemStacks", 0, "items"]) or []
     base = "https://www.walmarket.example.com"
+    # J7 JSON-in-JSON: identityNextTenants is a JSON *string* field
+    # (walmart/parse_walmart.py:49-62).
+    tenants_str = gj(data, ["props", "pageProps", "bootstrapData", "cv",
+                            "identity", "_all_", "identityNextTenants"])
+    currency_code = None
+    if tenants_str:
+        try:
+            currency_code = json.loads(tenants_str).get("currency")
+        except (ValueError, AttributeError):
+            pass
     results = []
     for it in items:
         if it.get("__typename") != "Product":  # Q7 filter
             continue
+        thumb = gj(it, ["imageInfo", "thumbnailUrl"])
+        # Per-item variants map<str, list[struct]> (walmart:76-92).
+        variants = {}
+        for vc in it.get("variantCriteria") or []:
+            variants[vc.get("name")] = [
+                {"name": a.get("name"),
+                 "swatch_image": a.get("swatchImageUrl"),
+                 "id": gj(a, ["selectedProduct", "usItemId"]),
+                 "url": F.prefix_url(
+                     base, gj(a, ["selectedProduct", "canonicalUrl"]))}
+                for a in vc.get("variantList") or []
+            ]
         results.append({
             "id": it.get("usItemId"),
             "name": it.get("name"),
             "brand": it.get("brand"),
             "price": gj(it, ["priceInfo", "linePrice", "price"]),
+            "currency_code": currency_code,
+            "offer_msg": gj(it, ["priceInfo", "priceRangeString"]),
             "rating": it.get("averageRating"),
             "total_reviews": it.get("numberOfReviews"),
             "url": F.prefix_url(base, F.strip_query(it.get("canonicalUrl"))),
-            "image": gj(it, ["imageInfo", "thumbnailUrl"]),
+            "image": F.strip_query(thumb),  # T9
+            "thumbnail": thumb,
             "in_stock": gj(it, ["availabilityStatusV2", "value"]) == "IN_STOCK",
+            "seller_name": it.get("sellerName"),
+            "is_sponsored": it.get("isSponsoredFlag"),
+            "variants": variants or None,
+            "est_delivery_date": gj(it, ["fulfillmentSummary", 0,
+                                         "deliveryDate"]),
         })
     q = gj(data, ["props", "pageProps", "initialSearchQueryVariables"]) or {}
     return {
@@ -296,21 +326,52 @@ def extract_redux_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict
 
 # -- nextprops-detail (bedbathbeyond/parse_bedbathbeyond.py) ----------------
 
+_BB_IMG_PREFIX = "https://ak1.ostkcdn.example.com/images/products/"
+_BB_SITE = "https://www.bedbath.example.com"
+
+
 def extract_nextprops_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
     data = C.json_script_by_id(scripts, "__NEXT_DATA__")
-    prod = gj(data, ["props", "pageProps", "product"])
+    pp = gj(data, ["props", "pageProps"]) or {}
+    prod = pp.get("product")
     if prod is None:
         return None
-    pr = gj(data, ["props", "pageProps", "initialPowerReviews"]) or {}
-    # R2 equi-join: option.imageId -> oViewerImages.id (:199-218).
+    pr = pp.get("initialPowerReviews") or {}
+    hist = pr.get("ratingCounts") or {}
+    # X2 DOM-child state machine over the description fragment (:162-191),
+    # with the per-child fragment re-parse expressed as node_text.
+    frag = tokenize(prod.get("description") or "")
+    description, features, dimensions = F.sectionize_children(frag)
+    # R2 equi-join: option.oViewerImagesIds -> oViewerImages.id (:199-218).
     viewer = {i.get("id"): i.get("cdnPath")
               for i in prod.get("oViewerImages") or []}
     variants = [
-        {"type": o.get("category"), "value": o.get("name"),
-         "available": o.get("isAvailable"),
-         "image": viewer.get(o.get("imageId"))}
+        {"option_id": o.get("optionId"),
+         # sic: the reference reads the misspelled 'decription' key (:205)
+         "description": o.get("decription"),
+         "price": o.get("price"),
+         "listing_price": o.get("comparePrice"),
+         "in_stock": o.get("isInStock"),
+         "selector": (_BB_IMG_PREFIX + viewer[o.get("oViewerImagesIds")]
+                      if o.get("oViewerImagesIds") in viewer else None),
+         "url": None}
         for o in prod.get("options") or []
-    ] or None
+    ]
+    # Financing offers with fragment-parsed messageHtml (:80-98).
+    buying_offers = []
+    for offer in pp.get("financingOffers") or []:
+        msg_html = gj(offer, ["html", "messageHtml"])
+        buying_offers.append({
+            "offer_type": gj(offer, ["data", "financingOfferType"]),
+            "offer_description": (tokenize(msg_html).node_text(0).strip()
+                                  if msg_html else None),
+            "price": None,
+            "seller": None,
+        })
+    attributes = gj(prod, ["specificationAttributes", "attributeGroups", 0,
+                           "attributes"]) or []
+    overview = [{"name": a.get("label"), "value": a.get("values")}
+                for a in attributes]
     detail = {
         "product_id": prod.get("id"),
         "name": prod.get("title"),
@@ -319,17 +380,44 @@ def extract_nextprops_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[
         "list_price": gj(prod, ["price", "listAmount"]),
         "currency": gj(prod, ["price", "currency"]),
         "currency_symbol": "$",
-        "rating": F.weighted_rating(pr.get("ratingCounts")),  # T18
-        "total_ratings": pr.get("ratingCount"),
-        "total_reviews": pr.get("reviewCount"),
-        "description": prod.get("description"),
-        "images": [i.get("cdnPath") for i in prod.get("oViewerImages") or []],
-        "categories": [c.get("name") for c in prod.get("categories") or []],
+        "rating": F.weighted_rating(hist),      # T18
+        "total_ratings": sum(int(v) for v in hist.values()),  # :108
+        "total_reviews": gj(pr, ["paging", "total_results"]),
+        "description": description if description else None,
+        "main_image": gj(pp, ["dataLayer", "product_image_url", 0]),
+        "images": [_BB_IMG_PREFIX + (i.get("cdnPath") or "")
+                   for i in prod.get("oViewerImages") or []],
+        "categories": [
+            {"name": s.get("subcategory_title"),
+             "url": f"{_BB_SITE}/{s.get('subcategory_url')}"}
+            for s in prod.get("subcategories") or []],
         "specifications": prod.get("specifications"),
-        "variants": variants,
+        "variants": variants or None,
         "in_stock": prod.get("isInStock"),
         "url": _canonical_url(dom, url),
+        "features": features,
+        "dimensions": dimensions,
+        "overview": overview or None,
+        "buying_offers": buying_offers,
+        "country_of_origin": prod.get("countryOfOrigin"),
+        # PowerReviews aspects (:246-268).
+        "review_aspects": [
+            {"name": gj(r, ["details", "nickname"]),
+             "headline": gj(r, ["details", "headline"]),
+             "comments": gj(r, ["details", "comments"]),
+             "rating": gj(r, ["metrics", "rating"]),
+             "helpful_votes": gj(r, ["metrics", "helpful_votes"]),
+             "not_helpful_votes": gj(r, ["metrics", "not_helpful_votes"]),
+             "helpful_score": gj(r, ["metrics", "helpful_score"]),
+             "verified_purchase": gj(r, ["badges", "is_verified_buyer"])}
+            for r in gj(pr, ["results", 0, "reviews"]) or []],
+        # Product guides (:270-282).
+        "product_guides": [
+            {"text": c.get("contentName"),
+             "url": f"{_BB_SITE}{c.get('contentUrl')}"}
+            for c in prod.get("productContents") or []] or None,
     }
+    detail["details_table"] = detail["overview"]
     return _envelope(detail["url"], detail)
 
 
@@ -705,35 +793,101 @@ def extract_webpack_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[di
     pd = gj(entry, ["application", "props", "productDetails"])
     if pd is None:
         return None
-    selected = set(pd.get("selectedOptions") or [])
-    # R4 semi-join: option kept iff option_id ∈ selectedOptions (:179-201).
-    variants = [
-        {"type": o.get("category"), "value": o.get("name"), "available": True}
-        for o in pd.get("options") or [] if o.get("option_id") in selected
-    ] or None
+    price_data = pd.get("price")
+    # Name with whitespace collapse (T12, prev/parse_wayfair.py:68-69).
+    name_n = S.select_one(dom, "a.HotDealsProductTitle")
+    name = (F.collapse_ws(dom.node_text(name_n).strip())
+            if name_n is not None else pd.get("name"))
+    # Main image + carousel with data-URI filter (Q8) and hi-res rewrites
+    # (T11, :74-90).
+    viewer = S.select_one(dom, "div.ProductDetailSingleMediaViewer")
+    img_n = S.select_one(dom, "img", root=viewer) if viewer is not None else None
+    main_image = dom.attr(img_n, "src") if img_n is not None else None
+    images = []
+    carousel = S.select_one(dom, "ul.HotDealsThumbnailCarousel-container")
+    if carousel is not None:
+        for li in S.select(dom, "li", root=carousel):
+            im = S.select_one(dom, "img", root=li)
+            u = dom.attr(im, "src") if im is not None else None
+            if not u or u.startswith("data:image"):
+                continue
+            u = re.sub(r"timg-h\d+(?:-w\d+)?", "resize-h800-w800", u)
+            u = re.sub(r"resize-h\d+(?:-w\d+)?", "resize-h800-w800", u)
+            u = re.sub(r"compr-r\d+", "compr-r85", u)
+            images.append(u)
+    # T15 fallback chains (:96-132): JSON price → CSS regex; CSS list
+    # price → JSON; JSON currency → first char of the price text.
+    price = gj(price_data, ["customerPrice", "quantityPrice", "value"])
+    price_n = S.select_one(dom, "div.BasePriceBlock")
+    if price is None and price_n is not None:
+        price = F.parse_money(dom.node_text(price_n))
+    list_price = None
+    lp_n = S.select_one(dom, "div.BasePriceBlock--list")
+    if lp_n is not None:
+        list_price = F.parse_money(dom.node_text(lp_n))
+    if list_price is None:
+        list_price = gj(price_data, ["listPrice", "quantityPrice", "value"])
+    currency = gj(price_data, ["customerPrice", "quantityPrice", "currency"])
+    if currency is None and price_n is not None:
+        currency = dom.node_text(price_n).strip()[:1]
+    # sku from the call-to-action form input (:142).
+    sku_n = S.select_one(dom, "form.HotDealsCallToActionForm input[name=sku]")
+    sku_id = dom.attr(sku_n, "value") if sku_n is not None else pd.get("sku")
+    brand_n = S.select_one(dom, "p.HotDealsProductTitle-manufacturerName")
+    brand = (dom.node_text(brand_n).replace("By", "").strip()
+             if brand_n is not None else None)
+    # Star button: positional contents split (:153-159).
+    rating = total_ratings = None
+    stars_n = S.select_one(dom, "button[data-hb-id=ReviewStars]>p")
+    if stars_n is not None:
+        parts = [dom.texts[c] if dom.tags[c] == "#text" else dom.node_text(c)
+                 for c in dom.children(stars_n)]
+        try:
+            rating = float(parts[0].split()[1])
+            total_ratings = int(parts[2].split()[0])
+        except (IndexError, ValueError):
+            pass
+    # R4 semi-join (selected variant) + all-options variants with
+    # thumbnail-id substituted image urls (T11 variant, :179-201).
+    selected = set(gj(pd, ["options", "selectedOptions"]) or [])
+    variant_sel: list = []
+    variants: list = []
+    for cat in gj(pd, ["options", "standardOptions"]) or []:
+        type_name = cat.get("category_name")
+        for o in cat.get("options") or []:
+            if o.get("option_id") in selected:
+                variant_sel.append({"type": type_name, "value": o.get("name")})
+            tid = str(o.get("thumbnail_id"))
+            image_url = (re.sub(r"/\d+/\d+/", f"/{tid[:4]}/{tid}/", main_image)
+                         if main_image else None)
+            variants.append({"type": type_name, "value": o.get("name"),
+                             "image_url": image_url})
     detail = {
-        "product_id": pd.get("sku"),
-        "name": pd.get("name"),
-        "brand": gj(pd, ["manufacturer", "name"]),
-        "price": F.parse_money(gj(pd, ["price", "customerPrice", "display"])),
-        "list_price": F.parse_money(gj(pd, ["price", "listPrice", "display"])),
-        "currency": "USD",
-        "currency_symbol": (gj(pd, ["price", "customerPrice", "display"]) or "$")[:1],
-        "rating": gj(pd, ["reviews", "averageRating"]),
-        "total_ratings": gj(pd, ["reviews", "ratingCount"]),
-        "total_reviews": gj(pd, ["reviews", "reviewCount"]),
-        "description": pd.get("description"),
-        "images": [F.hires_image(u) for u in pd.get("images") or []],  # T11
+        "product_id": sku_id,
+        "name": name,
+        "brand": brand,
+        "price": price,
+        "list_price": list_price,
+        "currency": currency,
+        "currency_symbol": "$",
+        "rating": rating,
+        "total_ratings": total_ratings,
+        "total_reviews": None,
+        "description": None,        # prev/parse_wayfair.py:139 — hardcoded
+        "main_image": main_image,
+        "images": images,
         "categories": None,
         "specifications": None,
+        "variant": variant_sel,
         "variants": variants,
         "in_stock": None,
         "url": _canonical_url(dom, url),
-        "sku": pd.get("sku"),
+        "sku": sku_id,
+        "sku_id": sku_id,
+        "reviews": [],
+        "retailer_badge": None,
     }
-    detail["categories"] = None
-    env = _envelope(detail["url"], detail)
-    return env
+    return _envelope(detail["url"], detail)
 
 
 # -- discover-detail (prev/parse_tesco_html.py) -----------------------------
@@ -741,9 +895,11 @@ def extract_webpack_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[di
 def extract_discover_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
     blobs = C.json_scripts_by_type(scripts, "application/discover+json")
     cache = None
+    blob_root = None
     for b in blobs:
         cache = gj(b, ["mfe-orchestrator", "props", "apolloCache"])
         if cache:
+            blob_root = b
             break
     if not cache:
         return None
@@ -759,21 +915,41 @@ def extract_discover_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[d
         if k.startswith("reviews"):
             reviews = v
             break
-    pack = gj(prod, ["packSize", 0]) or {}
-    pack_size = (f"{pack.get('value')} {pack.get('units')}"
-                 if pack.get("value") and pack.get("units") else None)  # T14
+    # isoCurrencyCode from the sibling mfe-pdp config blob
+    # (prev/parse_tesco_html.py:52).
+    currency = gj(blob_root, ["mfe-pdp", "props", "config", "client",
+                              "isoCurrencyCode"]) or "USD"
+    details_obj = prod.get("details") or {}
+    pack_size = [{"value": x.get("value"), "units": x.get("units")}
+                 for x in details_obj.get("packSize") or []]
+    nutrition = [
+        {"name": n.get("name"), "value1": n.get("value1"),
+         "value2": n.get("value2"), "value3": n.get("value3"),
+         "value4": n.get("value4")}
+        for n in details_obj.get("nutrition") or []]
+    review_rows = [
+        {"rating": gj(e, ["rating", "value"]),
+         "author": gj(e, ["author", "nickname"]),
+         "status": e.get("status"),
+         "summary": e.get("summary"),
+         "text": e.get("text"),
+         "is_syndicated": e.get("syndicated"),
+         "syndication_source": gj(e, ["syndicationSource", "name"])}
+        for e in (reviews or {}).get("entries") or []]
     detail = {
         "product_id": prod.get("id"),
         "name": prod.get("title"),
         "brand": prod.get("brandName"),
         "price": gj(prod, ["price", "actual"]),
         "list_price": None,
-        "currency": "USD",
-        "currency_symbol": "$",
+        "currency": currency,
+        "currency_symbol": {"GBP": "£", "EUR": "€"}.get(currency, "$"),
         "rating": gj(reviews, ["stats", "overallRating"]),
         "total_ratings": None,
         "total_reviews": gj(reviews, ["stats", "noOfReviews"]),
         "description": None,
+        "gtin": prod.get("gtin"),
+        "image_url": prod.get("defaultImageUrl"),
         "images": prod.get("images"),
         "categories": [prod.get("superDepartmentName")]
         if prod.get("superDepartmentName") else None,
@@ -785,8 +961,10 @@ def extract_discover_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[d
         "tpnc": prod.get("tpnc"),
         "features": prod.get("description"),
         "pack_size": pack_size,
+        "storage": details_obj.get("storage"),
+        "nutrition": nutrition,
+        "reviews": review_rows,
     }
-    detail["description"] = detail["description"]
     env = _envelope(detail["url"], detail)
     return env
 

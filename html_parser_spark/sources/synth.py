@@ -436,34 +436,73 @@ def _render_redux_detail(p: dict, url: str) -> str:
 
 
 def _render_nextprops_detail(p: dict, url: str) -> str:
-    # bedbathbeyond/parse_bedbathbeyond.py:42-49,102-109,199-218.
+    # bedbathbeyond/parse_bedbathbeyond.py:42-49,80-109,140-282.
+    pid = int(p["product_id"])
     options = [
-        {"optionId": 1000 + k, "name": v["value"], "category": v["type"],
-         "imageId": 5000 + k, "isAvailable": v["available"]}
+        {"optionId": 1000 + k, "decription": f"{v['value']} option",
+         "price": round(p["price"] + k, 2),
+         "comparePrice": round(p["list_price"] + k, 2),
+         "isInStock": v["available"],
+         "oViewerImagesIds": 5000 + k}
         for k, v in enumerate(p["variants"])
     ]
     viewer_images = [
-        {"id": 5000 + k, "cdnPath": img}
-        for k, img in enumerate(p["images"][: len(options)])
-    ] + [{"id": 9000 + k, "cdnPath": img}
-         for k, img in enumerate(p["images"][len(options):])]
+        {"id": 5000 + k, "cdnPath": f"bb/{pid}/{k}.jpg"}
+        for k in range(len(p["images"]))
+    ]
+    # X2 fragment: details paragraphs, then Features:/Dimensions: headers
+    # each followed by a <ul>.
+    desc_html = (
+        f"<p>{p['description']}</p><p>   </p>"
+        "<p>Features:</p><ul>"
+        + "".join(f"<li>{f}</li>" for f in p["features"]) + "</ul>"
+        "<p>Dimensions:</p><ul>"
+        + "".join(f"<li>{s['name']}: {s['value']}</li>"
+                  for s in p["specifications"]) + "</ul>"
+    )
     next_data = {"props": {"pageProps": {
         "product": {
             "id": p["product_id"], "title": p["name"], "brandName": p["brand"],
             "price": {"amount": p["price"], "listAmount": p["list_price"],
                       "currency": p["currency"]},
-            "description": p["description"],
-            "categories": [{"name": c} for c in p["categories"]],
+            "description": desc_html,
+            "subcategories": [
+                {"subcategory_title": c,
+                 "subcategory_url": "c/" + c.lower().replace(" ", "-")}
+                for c in p["categories"]],
             "options": options,
             "oViewerImages": viewer_images,
+            "specificationAttributes": {"attributeGroups": [{
+                "attributes": [{"label": s["name"], "values": s["value"]}
+                               for s in p["specifications"]]}]},
             "specifications": p["specifications"],
             "isInStock": p["in_stock"],
+            "countryOfOrigin": "USA" if pid % 2 == 0 else None,
+            "productContents": [
+                {"contentName": "Assembly Guide",
+                 "contentUrl": f"/guides/{pid}"}] if pid % 3 == 0 else [],
         },
         "initialPowerReviews": {
             "ratingCounts": p["rating_hist"],
-            "reviewCount": p["total_reviews"],
-            "ratingCount": p["total_ratings"],
+            "paging": {"total_results": p["total_reviews"]},
+            "results": [{"reviews": [
+                {"details": {"nickname": f"bb_user{k}",
+                             "headline": f"BB Review {k}",
+                             "comments": f"BB comment {k} for {pid}"},
+                 "metrics": {"rating": (pid + k) % 5 + 1,
+                             "helpful_votes": k + 1,
+                             "not_helpful_votes": k % 2,
+                             "helpful_score": 60 + k},
+                 "badges": {"is_verified_buyer": k % 2 == 0}}
+                for k in range(pid % 2 + 1)
+            ]}],
         },
+        "financingOffers": [
+            {"data": {"financingOfferType": "DEFERRED"},
+             "html": {"messageHtml": "<b>0% APR</b> for 12 months"}}
+        ] if pid % 2 == 0 else [],
+        "dataLayer": {"product_image_url": [
+            f"https://ak1.ostkcdn.example.com/images/products/bb/{pid}/0.jpg"]},
     }}}
     return (
         _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
@@ -707,34 +746,59 @@ def _render_escaped_component_detail(p: dict, url: str) -> str:
 
 
 def _render_webpack_detail(p: dict, url: str) -> str:
-    # prev/parse_wayfair.py:44-48 (assignment slice), :179-201 (semi-join),
-    # :87-90 (hi-res rewrite inputs).
-    all_options = [
-        {"option_id": 7000 + k, "name": v["value"], "category": v["type"]}
+    # prev/parse_wayfair.py:44-48 (assignment slice), :96-132 (T15 fallback
+    # chains), :153-159 (star button), :179-201 (semi-join + thumbnail
+    # substitution), :74-90 (data-URI filter + hi-res rewrites).
+    pid = int(p["product_id"])
+    vtype = p["variants"][0]["type"] if p["variants"] else "Color"
+    options = [
+        {"option_id": 7000 + k, "name": v["value"], "thumbnail_id": 8000 + k}
         for k, v in enumerate(p["variants"])
-    ] + [{"option_id": 7900 + k, "name": f"Unused{k}", "category": "Color"}
-         for k in range(2)]
+    ] + [{"option_id": 7900 + k, "name": f"Unused{k}",
+          "thumbnail_id": 9900 + k} for k in range(2)]
     selected = [7000 + k for k in range(len(p["variants"]))]
+    price_json = {"listPrice": {"quantityPrice": {"value": p["list_price"]}}}
+    if pid % 2 == 0:  # T15: JSON price present only on even pids
+        price_json["customerPrice"] = {
+            "quantityPrice": {"value": p["price"], "currency": "USD"}}
     entry = {
         "application": {"props": {"productDetails": {
             "sku": f"W{p['product_id']}", "name": p["name"],
-            "manufacturer": {"name": p["brand"]},
-            "price": {"customerPrice": {"display": f"${p['price']:,.2f}"},
-                      "listPrice": {"display": f"${p['list_price']:,.2f}"}},
-            "reviews": {"averageRating": p["rating"],
-                        "reviewCount": p["total_reviews"],
-                        "ratingCount": p["total_ratings"]},
-            "images": [u.replace("/p/", "/timg-h310-w310/p/") for u in p["images"]],
-            "options": all_options,
-            "selectedOptions": selected,
+            "price": price_json,
+            "options": {"selectedOptions": selected,
+                        "standardOptions": [
+                            {"category_name": vtype, "options": options}]},
             "description": p["description"],
         }}}
     }
     inline = f'window["WEBPACK_ENTRY_DATA"] = {json.dumps(entry)};'
+    main_image = (f"https://img.wayflair.example.com/5000/50001/p/"
+                  f"{pid}_main.jpg")
+    carousel_lis = (
+        '<li><img src="data:image/gif;base64,R0lGOD"></li>'   # Q8 victim
+        + "".join(
+            f'<li><img src="{u.replace("/p/", "/timg-h310-w310/compr-r40/p/")}"></li>'
+            for u in p["images"])
+    )
+    spaced_name = p["name"].replace(" ", "  ", 1)  # T12 collapse input
+    list_block = (f'<div class="BasePriceBlock--list">'
+                  f'Was ${p["list_price"]:,.2f}</div>'
+                  if pid % 3 == 0 else "")
     return (
         _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
-        + _main_block(p)
-        + f'<input name="sku" value="W{p["product_id"]}">'
+        + '<main><div class="HotDeals">'
+        + f'<a class="HotDealsProductTitle">{spaced_name}</a>'
+        + f'<p class="HotDealsProductTitle-manufacturerName">By {p["brand"]}</p>'
+        + f'<div class="BasePriceBlock">${p["price"]:,.2f}</div>'
+        + list_block
+        + f'<button data-hb-id="ReviewStars"><p>Rated {p["rating"]:.1f} out '
+          f'of 5<span> | </span>{p["total_ratings"]} ratings</p></button>'
+        + '<div class="ProductDetailSingleMediaViewer">'
+        + f'<img src="{main_image}"></div>'
+        + f'<ul class="HotDealsThumbnailCarousel-container">{carousel_lis}</ul>'
+        + '<form class="HotDealsCallToActionForm">'
+        + f'<input name="sku" value="W{p["product_id"]}"></form>'
+        + "</div></main>"
         + "<script>var a=1;</script>"
         + f"<script>{inline}</script>"
         + "<script>var b=2;</script>"
@@ -745,27 +809,52 @@ def _render_webpack_detail(p: dict, url: str) -> str:
 def _render_discover_detail(p: dict, url: str) -> str:
     # prev/parse_tesco_html.py:29-37 (Apollo cache), :95-113 (reviews* key scan).
     pid = p["product_id"]
+    npid = int(pid)
     cache = {
         "ROOT_QUERY": {"typename": "Query"},
         f"ProductType:{pid}": {
             "id": pid, "title": p["name"], "brandName": p["brand"],
             "price": {"actual": p["price"], "unitPrice": p["price"]},
-            "tpnb": f"0{pid}", "tpnc": f"1{pid}",
+            "tpnb": f"0{pid}", "tpnc": f"1{pid}", "gtin": f"5{pid}",
             "description": p["features"],
             "defaultImageUrl": p["images"][0],
             "images": p["images"],
-            "packSize": [{"value": "1", "units": "EA"}],
+            "details": {
+                "packSize": [{"value": "1", "units": "EA"}],
+                "storage": (["Keep refrigerated", "Use within 3 days"]
+                            if npid % 2 == 0 else None),
+                "nutrition": ([
+                    {"name": "Energy", "value1": f"{npid % 900}kJ",
+                     "value2": f"{npid % 215}kcal", "value3": None,
+                     "value4": None},
+                    {"name": "Fat", "value1": f"{npid % 30}g",
+                     "value2": "-", "value3": None, "value4": None},
+                ] if npid % 3 == 0 else None),
+            },
             "superDepartmentName": p["categories"][0],
         },
         f"reviewsData:ProductType:{pid}": {
             "stats": {"overallRating": p["rating"],
                       "noOfReviews": p["total_reviews"]},
+            "entries": [
+                {"rating": {"value": (npid + k) % 5 + 1},
+                 "author": {"nickname": f"t_user{k}"},
+                 "status": "APPROVED",
+                 "summary": f"Summary {k}",
+                 "text": f"Review text {k} for {pid}",
+                 "syndicated": k % 2 == 0,
+                 "syndicationSource": {"name": "TescoSrc"}}
+                for k in range(npid % 2 + 1)
+            ],
         },
     }
+    blob = {"mfe-orchestrator": {"props": {"apolloCache": cache}},
+            "mfe-pdp": {"props": {"config": {"client": {
+                "isoCurrencyCode": "GBP"}}}}}
     return (
         _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
         + _main_block(p)
-        + f'<script type="application/discover+json">{json.dumps({"mfe-orchestrator": {"props": {"apolloCache": cache}}})}</script>'
+        + f'<script type="application/discover+json">{json.dumps(blob)}</script>'
         + _FOOTER
     )
 
@@ -780,22 +869,49 @@ def _render_nextdata_serp(p: dict, url: str, idx: int) -> str:
         if k % 4 == 3:
             items.append({"__typename": "AdPlaceholder", "adUnit": f"ad-{k}"})
         else:
+            spid = int(sub["product_id"])
             items.append({
                 "__typename": "Product",
                 "usItemId": sub["product_id"], "name": sub["name"],
                 "brand": sub["brand"],
-                "priceInfo": {"linePrice": {"price": sub["price"]}},
+                "priceInfo": {
+                    "linePrice": {"price": sub["price"]},
+                    "priceRangeString": (f"From ${sub['price']:.2f}"
+                                         if spid % 3 == 0 else None),
+                },
                 "averageRating": sub["rating"],
                 "numberOfReviews": sub["total_reviews"],
                 "canonicalUrl": f"/ip/{sub['product_id']}?athcpid=x",
-                "imageInfo": {"thumbnailUrl": sub["images"][0]},
+                "imageInfo": {"thumbnailUrl":
+                              sub["images"][0] + "?odnHeight=180"},
                 "availabilityStatusV2": {"value": "IN_STOCK" if sub["in_stock"] else "OUT_OF_STOCK"},
+                "sellerName": f"{sub['brand']} Store",
+                "isSponsoredFlag": k % 5 == 0,
+                "variantCriteria": [{
+                    "name": "Color",
+                    "variantList": [
+                        {"name": v["value"],
+                         "swatchImageUrl":
+                             f"https://img.walmarket.example.com/sw/{spid}/{j}.jpg",
+                         "selectedProduct": {
+                             "usItemId": f"{spid}{j}",
+                             "canonicalUrl": f"/ip/{spid}{j}"}}
+                        for j, v in enumerate(sub["variants"])
+                    ],
+                }] if sub["variants"] else [],
+                "fulfillmentSummary": [
+                    {"deliveryDate": f"2025-0{spid % 9 + 1}-10"}],
             })
     search_term = f"{_NOUN[idx % len(_NOUN)].lower()}"
     next_data = {"props": {"pageProps": {"initialData": {"searchResult": {
         "itemStacks": [{"items": items, "count": n_items}],
         "count": n_items * 3,
-    }}, "initialSearchQueryVariables": {"query": search_term, "page": 1}}}}
+    }}, "initialSearchQueryVariables": {"query": search_term, "page": 1},
+        # J7 JSON-in-JSON: currency inside a string field
+        # (walmart/parse_walmart.py:49-62).
+        "bootstrapData": {"cv": {"identity": {"_all_": {
+            "identityNextTenants": json.dumps({"currency": "USD"})}}}},
+    }}}
     lis = "".join(
         f"<li class='serp-card'><h3>{it.get('name', 'ad')}</h3></li>" for it in items
     )
@@ -1113,16 +1229,33 @@ def golden_envelope(idx: int) -> Optional[dict]:
             if k % 4 == 3:
                 continue
             sub = payload_for(idx * 1000 + k)
+            spid = int(sub["product_id"])
+            base = "https://www.walmarket.example.com"
             results.append({
                 "id": sub["product_id"],
                 "name": sub["name"],
                 "brand": sub["brand"],
                 "price": sub["price"],
+                "currency_code": "USD",
+                "offer_msg": (f"From ${sub['price']:.2f}"
+                              if spid % 3 == 0 else None),
                 "rating": sub["rating"],
                 "total_reviews": sub["total_reviews"],
-                "url": f"https://www.walmarket.example.com/ip/{sub['product_id']}",
+                "url": f"{base}/ip/{sub['product_id']}",
                 "image": sub["images"][0],
+                "thumbnail": sub["images"][0] + "?odnHeight=180",
                 "in_stock": sub["in_stock"],
+                "seller_name": f"{sub['brand']} Store",
+                "is_sponsored": k % 5 == 0,
+                "variants": {"Color": [
+                    {"name": v["value"],
+                     "swatch_image":
+                         f"https://img.walmarket.example.com/sw/{spid}/{j}.jpg",
+                     "id": f"{spid}{j}",
+                     "url": f"{base}/ip/{spid}{j}"}
+                    for j, v in enumerate(sub["variants"])
+                ]} if sub["variants"] else None,
+                "est_delivery_date": f"2025-0{spid % 9 + 1}-10",
             })
         return {
             "success": True,
@@ -1307,16 +1440,55 @@ def golden_envelope(idx: int) -> Optional[dict]:
             for k, c in enumerate(p["categories"])
         ]
     elif profile == "nextprops-detail":
+        pid = int(p["product_id"])
+        prefix = "https://ak1.ostkcdn.example.com/images/products/"
+        site = "https://www.bedbath.example.com"
         hist = p["rating_hist"]
         tot = sum(hist.values())
         wsum = sum(int(k) * v for k, v in hist.items())
         detail["rating"] = (wsum / tot) if tot else 0
-        # variant-image equi-join (R2): option.imageId -> oViewerImages.id
+        detail["total_ratings"] = tot
+        detail["description"] = p["description"] + "\n"
+        detail["main_image"] = prefix + f"bb/{pid}/0.jpg"
+        detail["images"] = [prefix + f"bb/{pid}/{k}.jpg"
+                            for k in range(len(p["images"]))]
+        detail["categories"] = [
+            {"name": c, "url": f"{site}/c/" + c.lower().replace(" ", "-")}
+            for c in p["categories"]]
+        # variant-image equi-join (R2): option.oViewerImagesIds -> viewer.id
         detail["variants"] = [
-            {"type": v["type"], "value": v["value"], "available": v["available"],
-             "image": p["images"][k] if k < len(p["images"]) else None}
+            {"option_id": 1000 + k, "description": f"{v['value']} option",
+             "price": round(p["price"] + k, 2),
+             "listing_price": round(p["list_price"] + k, 2),
+             "in_stock": v["available"],
+             "selector": (prefix + f"bb/{pid}/{k}.jpg"
+                          if k < len(p["images"]) else None),
+             "url": None}
             for k, v in enumerate(p["variants"])
-        ]
+        ] or None
+        detail["features"] = list(p["features"])
+        detail["dimensions"] = [f"{s['name']}: {s['value']}"
+                                for s in p["specifications"]]
+        overview = [{"name": s["name"], "value": s["value"]}
+                    for s in p["specifications"]] or None
+        detail["overview"] = overview
+        detail["details_table"] = overview
+        detail["buying_offers"] = [
+            {"offer_type": "DEFERRED",
+             "offer_description": "0% APR for 12 months",
+             "price": None, "seller": None}
+        ] if pid % 2 == 0 else []
+        detail["country_of_origin"] = "USA" if pid % 2 == 0 else None
+        detail["review_aspects"] = [
+            {"name": f"bb_user{k}", "headline": f"BB Review {k}",
+             "comments": f"BB comment {k} for {pid}",
+             "rating": (pid + k) % 5 + 1, "helpful_votes": k + 1,
+             "not_helpful_votes": k % 2, "helpful_score": 60 + k,
+             "verified_purchase": k % 2 == 0}
+            for k in range(pid % 2 + 1)]
+        detail["product_guides"] = (
+            [{"text": "Assembly Guide", "url": f"{site}/guides/{pid}"}]
+            if pid % 3 == 0 else None)
     elif profile == "inline-js-detail":
         pid = int(p["product_id"])
         detail["sku"] = f"SKU{p['product_id']}"
@@ -1396,23 +1568,64 @@ def golden_envelope(idx: int) -> Optional[dict]:
         detail["model_no"] = f"BB-{pid}"
         detail["is_energy_star_certified"] = pid % 6 == 0 and pid % 3 == 0
     elif profile == "webpack-detail":
+        pid = int(p["product_id"])
         detail["sku"] = f"W{p['product_id']}"
+        detail["sku_id"] = f"W{p['product_id']}"
         detail["product_id"] = f"W{p['product_id']}"
         detail["categories"] = None
         detail["specifications"] = None
-        detail["images"] = [u.replace("/p/", "/resize-h800-w800/p/")
-                            for u in p["images"]]
+        detail["description"] = None
+        detail["rating"] = float(f"{p['rating']:.1f}")
+        detail["total_reviews"] = None
+        detail["currency"] = "USD" if pid % 2 == 0 else "$"
+        main_image = (f"https://img.wayflair.example.com/5000/50001/p/"
+                      f"{pid}_main.jpg")
+        detail["main_image"] = main_image
+        detail["images"] = [
+            u.replace("/p/", "/resize-h800-w800/compr-r85/p/")
+            for u in p["images"]]
+        vtype = p["variants"][0]["type"] if p["variants"] else "Color"
+        detail["variant"] = [
+            {"type": vtype, "value": v["value"]} for v in p["variants"]]
         detail["variants"] = [
-            {"type": v["type"], "value": v["value"], "available": True}
-            for v in p["variants"]
+            {"type": vtype, "value": v["value"],
+             "image_url": main_image.replace(
+                 "/5000/50001/", f"/{8000 + k}/{8000 + k}/")}
+            for k, v in enumerate(p["variants"])
+        ] + [
+            {"type": vtype, "value": f"Unused{k}",
+             "image_url": main_image.replace(
+                 "/5000/50001/", f"/{9900 + k}/{9900 + k}/")}
+            for k in range(2)
         ]
         detail["in_stock"] = None
+        detail["reviews"] = []
+        detail["retailer_badge"] = None
     elif profile == "discover-detail":
+        pid = int(p["product_id"])
         detail["description"] = None
         detail["tpnb"] = f"0{p['product_id']}"
         detail["tpnc"] = f"1{p['product_id']}"
+        detail["gtin"] = f"5{p['product_id']}"
+        detail["image_url"] = p["images"][0]
         detail["features"] = list(p["features"])
-        detail["pack_size"] = "1 EA"
+        detail["pack_size"] = [{"value": "1", "units": "EA"}]
+        detail["storage"] = (["Keep refrigerated", "Use within 3 days"]
+                             if pid % 2 == 0 else None)
+        detail["nutrition"] = ([
+            {"name": "Energy", "value1": f"{pid % 900}kJ",
+             "value2": f"{pid % 215}kcal", "value3": None, "value4": None},
+            {"name": "Fat", "value1": f"{pid % 30}g", "value2": "-",
+             "value3": None, "value4": None},
+        ] if pid % 3 == 0 else [])
+        detail["reviews"] = [
+            {"rating": (pid + k) % 5 + 1, "author": f"t_user{k}",
+             "status": "APPROVED", "summary": f"Summary {k}",
+             "text": f"Review text {k} for {p['product_id']}",
+             "is_syndicated": k % 2 == 0, "syndication_source": "TescoSrc"}
+            for k in range(pid % 2 + 1)]
+        detail["currency"] = "GBP"
+        detail["currency_symbol"] = "£"
         detail["categories"] = [p["categories"][0]]
         detail["list_price"] = None
         detail["variants"] = None

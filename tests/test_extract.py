@@ -260,3 +260,17 @@ class TestFragmentParsers:
 
     def test_join_variant_criteria_empty(self):
         assert F.join_variant_criteria(None, None) == []
+
+    def test_sectionize_children_x2(self):
+        html = ("<p>Intro text</p><p>  </p>"
+                "<p>Features:</p><ul><li>F1</li><li>F2</li></ul>"
+                "<p>Dimensions:</p><ul><li>W: 3 in</li></ul>")
+        desc, feats, dims = F.sectionize_children(tokenize(html))
+        assert desc == "Intro text\n"
+        assert feats == ["F1", "F2"]
+        assert dims == ["W: 3 in"]
+
+    def test_sectionize_children_last_ul_wins(self):
+        html = ("<p>Features:</p><ul><li>A</li></ul><ul><li>B</li></ul>")
+        desc, feats, dims = F.sectionize_children(tokenize(html))
+        assert desc == "" and feats == ["B"] and dims == []
