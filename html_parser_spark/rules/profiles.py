@@ -971,41 +971,77 @@ def extract_discover_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[d
 
 # -- css-serp (prev/parse_mercado.py) ---------------------------------------
 
+def _money_amount(dom: FlatDOM, root: int) -> tuple[Optional[str], Optional[float]]:
+    """T5 fraction+cents assembly within a price block, cents default '00'
+    (prev/parse_mercado.py:50-64)."""
+    sym_n = S.select_one(dom, "span.andes-money-amount__currency-symbol",
+                         root=root)
+    frac_n = S.select_one(dom, "span.andes-money-amount__fraction", root=root)
+    cents_n = S.select_one(dom, "span.andes-money-amount__cents", root=root)
+    if frac_n is None:
+        return None, None
+    frac = dom.node_text(frac_n).replace(",", "").replace(".", "")
+    cents = dom.node_text(cents_n) if cents_n is not None else "00"
+    sym = dom.node_text(sym_n) if sym_n is not None else None
+    return sym, float(f"{frac}.{cents}")
+
+
 def extract_css_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
     cards = S.select(dom, "li.ui-search-layout__item")
     if not cards:
         return None
     results = []
     for li in cards:
-        sub = dom  # same dom; operate within subtree
-        title_n = next((i for i in dom.iter_descendants(li)
-                        if dom.tags[i] == "h2"), None)
-        link_n = next((i for i in dom.iter_descendants(li)
-                       if dom.tags[i] == "a"), None)
-        img_n = next((i for i in dom.iter_descendants(li)
-                      if dom.tags[i] == "img"), None)
-        frac = cents = None
-        for i in dom.iter_descendants(li):
-            cls = dom.attr(i, "class") or ""
-            if "andes-money-amount__fraction" in cls:
-                frac = dom.node_text(i)
-            elif "andes-money-amount__cents" in cls:
-                cents = dom.node_text(i)
-        price = None
-        if frac is not None:
-            # T5 fraction+cents assembly (prev/parse_mercado.py:50-64).
-            f = frac.replace(",", "").replace(".", "")
-            price = float(f"{f}.{cents}") if cents else float(f)
+        title_n = S.select_one(dom, "h2", root=li)
+        link_n = S.select_one(dom, "a", root=li)
+        img_n = S.select_one(dom, "img", root=li)
+        # Q8 data-URI fallback (prev/parse_mercado.py:36-38).
         src = None
         if img_n is not None:
-            src = dom.attr(img_n, "data-src") or dom.attr(img_n, "src")
-            if src and src.startswith("data:"):
+            src = dom.attr(img_n, "src")
+            if src and src.startswith("data:image"):
                 src = dom.attr(img_n, "data-src")
+        brand_n = S.select_one(dom, "span.poly-component__brand", root=li)
+        # Positional visually-hidden review text parse (:41-48).
+        rating_value = 0.0
+        rating_count = 0
+        rev_n = S.select_one(dom, "div.poly-component__reviews", root=li)
+        if rev_n is not None:
+            hidden = S.select_one(dom, "span.andes-visually-hidden",
+                                  root=rev_n)
+            if hidden is not None:
+                txt = dom.node_text(hidden)
+                try:
+                    rating_value = float(txt.split()[1].strip())
+                    rating_count = int(
+                        txt.splitlines()[0].split("(")[1].strip())
+                except (IndexError, ValueError):
+                    pass
+        cur_n = S.select_one(dom, "div.poly-price__current", root=li)
+        currency = price = None
+        if cur_n is not None:
+            currency, price = _money_amount(dom, cur_n)
+        # Struck-through previous price overrides the currency (:57-64).
+        listing_price = None
+        prev_n = S.select_one(dom, "s.andes-money-amount--previous", root=li)
+        if prev_n is not None:
+            prev_sym, listing_price = _money_amount(dom, prev_n)
+            if prev_sym is not None:
+                currency = prev_sym
         results.append({
-            "name": F.collapse_ws(dom.node_text(title_n)) if title_n is not None else None,
-            "price": price,
-            "url": F.strip_query(dom.attr(link_n, "href")) if link_n is not None else None,
+            "name": (F.collapse_ws(dom.node_text(title_n))
+                     if title_n is not None else None),
             "image": src,
+            "brand": (dom.node_text(brand_n).strip()
+                      if brand_n is not None else None),
+            "rating_value": rating_value,
+            "rating_count": rating_count,
+            "price": price,
+            "listing_price": listing_price,
+            # sic: the reference emits the misspelled 'currenty' key (:77)
+            "currenty": currency,
+            "url": (F.strip_query(dom.attr(link_n, "href"))
+                    if link_n is not None else None),
         })
     return {
         "success": True,
@@ -1082,6 +1118,11 @@ def extract_ldjson_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dic
         "is_subscription": bool(price_text and "month" in price_text),  # T13
         "top_reviews": top_reviews or None,
     }
+    # Offer text, nested-class descent (walmart/parse_walmart-2.py:53-55).
+    offer_n = S.select_one(
+        dom, 'div[data-testid="postpaid-price"] div.mid-gray span.mr2')
+    detail["offer_text"] = (dom.node_text(offer_n).strip()
+                            if offer_n is not None else None)
     return _envelope(detail["url"], detail)
 
 

@@ -930,18 +930,39 @@ def _render_css_serp(p: dict, url: str, idx: int) -> str:
     cards = []
     for k in range(n_items):
         sub = payload_for(idx * 1000 + k)
+        spid = int(sub["product_id"])
         frac = int(sub["price"])
         cents = int(round((sub["price"] - frac) * 100))
+        lfrac = int(sub["list_price"])
+        lcents = int(round((sub["list_price"] - lfrac) * 100))
         img = (f'<img src="data:image/gif;base64,R0" data-src="{sub["images"][0]}">'
                if k % 2 else f'<img src="{sub["images"][0]}">')
+        cents_span = ("" if spid % 4 == 0 else
+                      f'<span class="andes-money-amount__cents">{cents:02d}</span>')
+        reviews_div = (
+            '<div class="poly-component__reviews">'
+            '<span class="andes-visually-hidden">'
+            f'Calificación {sub["rating"]:.1f} de 5 ({sub["total_ratings"]}\n'
+            "calificaciones)</span></div>"
+        ) if spid % 3 != 0 else ""
+        prev_price = (
+            '<s class="andes-money-amount--previous">'
+            '<span class="andes-money-amount__currency-symbol">$</span>'
+            f'<span class="andes-money-amount__fraction">{lfrac:,}</span>'
+            f'<span class="andes-money-amount__cents">{lcents:02d}</span></s>'
+        ) if spid % 2 == 0 else ""
         cards.append(
             '<li class="ui-search-layout__item">'
             f'<a class="ui-search-link" href="https://www.mercadolibro.example.com/p/{sub["product_id"]}#origin=serp">'
             f'<h2 class="ui-search-item__title">{sub["name"]}</h2></a>'
             f'{img}'
-            '<span class="andes-money-amount">'
+            f'<span class="poly-component__brand">{sub["brand"]}</span>'
+            f'{reviews_div}'
+            '<div class="poly-price__current">'
+            '<span class="andes-money-amount__currency-symbol">$</span>'
             f'<span class="andes-money-amount__fraction">{frac:,}</span>'
-            f'<span class="andes-money-amount__cents">{cents:02d}</span></span>'
+            f"{cents_span}</div>"
+            f"{prev_price}"
             "</li>"
         )
     return (
@@ -999,6 +1020,9 @@ def _render_ldjson_detail(p: dict, url: str, idx: int) -> str:
         + f'<ol class="w_4HBV">{crumbs}</ol>'
         + f'<div class="media">{thumbs}</div>'
         + f'<span itemprop="price">current price ${p["price"]:,.2f}</span>'
+        + (('<div data-testid="postpaid-price"><div class="mid-gray">'
+            '<span class="mr2">for 36 months, 0% APR</span></div></div>')
+           if int(p["product_id"]) % 2 == 0 else "")
         + f'<div class="description"><p>{p["description"]}</p></div></main>'
         + _FOOTER
     )
@@ -1327,13 +1351,25 @@ def golden_envelope(idx: int) -> Optional[dict]:
         results = []
         for k in range(n_items):
             sub = payload_for(idx * 1000 + k)
+            spid = int(sub["product_id"])
             frac = int(sub["price"])
             cents = int(round((sub["price"] - frac) * 100))
+            lfrac = int(sub["list_price"])
+            lcents = int(round((sub["list_price"] - lfrac) * 100))
             results.append({
                 "name": sub["name"],
-                "price": float(f"{frac}.{cents:02d}"),
-                "url": f"https://www.mercadolibro.example.com/p/{sub['product_id']}",
                 "image": sub["images"][0],
+                "brand": sub["brand"],
+                "rating_value": (float(f"{sub['rating']:.1f}")
+                                 if spid % 3 != 0 else 0.0),
+                "rating_count": (sub["total_ratings"]
+                                 if spid % 3 != 0 else 0),
+                "price": (float(frac) if spid % 4 == 0
+                          else float(f"{frac}.{cents:02d}")),
+                "listing_price": (float(f"{lfrac}.{lcents:02d}")
+                                  if spid % 2 == 0 else None),
+                "currenty": "$",
+                "url": f"https://www.mercadolibro.example.com/p/{sub['product_id']}",
             })
         return {
             "success": True,
@@ -1672,6 +1708,8 @@ def golden_envelope(idx: int) -> Optional[dict]:
             for c in p["categories"]
         ]
         detail["is_subscription"] = False
+        detail["offer_text"] = ("for 36 months, 0% APR"
+                                if int(p["product_id"]) % 2 == 0 else None)
         detail["top_reviews"] = [
             {"review_title": rv["name"],
              "review_text": rv["reviewBody"],
