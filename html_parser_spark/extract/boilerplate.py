@@ -23,7 +23,7 @@ import re
 from ..htmlkit.tokenizer import COMMENT, TEXT, FlatDOM
 from ..htmlkit.text import BLOCK_TAGS, EXCLUDED_TAGS
 
-__all__ = ["score_lines", "main_text"]
+__all__ = ["score_lines", "main_text", "text_and_scored", "select_content"]
 
 _BOILER_CONTAINERS = frozenset("nav footer header aside form".split())
 _WS_RE = re.compile(r"\s+")
@@ -116,9 +116,117 @@ def score_lines(dom: FlatDOM) -> list[tuple[str, int, int, bool]]:
     return lines
 
 
-def main_text(dom: FlatDOM) -> str:
-    """BOILER-SPEC v1 content selection."""
-    lines = score_lines(dom)
+def text_and_scored(dom: FlatDOM) -> tuple[str, list[tuple[str, int, int, bool]]]:
+    """One traversal producing BOTH the TEXT-SPEC v1 text and the
+    BOILER-SPEC v1 scored lines.
+
+    ``extract_text`` and ``score_lines`` walk the same arrays with slightly
+    different flush disciplines (TEXT-SPEC ignores excluded-block
+    boundaries; BOILER-SPEC flushes on them) — running them separately
+    costs a second full traversal per page (~10% of the kernel). This
+    merged pass keeps two line buffers and is verified equivalent to the
+    two single-purpose functions by tests/test_extract.py."""
+    n = len(dom)
+    tags = dom.tags
+    depth = dom.depth
+    texts = dom.texts
+
+    t_lines: list[str] = []
+    s_lines: list[tuple[str, int, int, bool]] = []
+    buf_t: list[str] = []
+    buf_s: list[str] = []
+    buf_link = 0
+    buf_boiler = False
+    stack: list[tuple[int, bool, bool, int, int]] = []
+    in_a = in_boiler = excluded = 0
+    ws_sub = _WS_RE.sub
+
+    def _collapse(line: str) -> str:
+        if (not line.isascii() or "  " in line or "\n" in line
+                or "\t" in line or "\r" in line or "\f" in line
+                or "\v" in line):
+            line = ws_sub(" ", line)
+        return line.strip()
+
+    def flush_t() -> None:
+        if buf_t:
+            line = _collapse("".join(buf_t))
+            del buf_t[:]
+            if line:
+                t_lines.append(line)
+
+    def flush_s() -> None:
+        nonlocal buf_link, buf_boiler
+        if buf_s:
+            line = _collapse("".join(buf_s))
+            del buf_s[:]
+            if line:
+                s_lines.append((line, len(line), min(buf_link, len(line)),
+                                buf_boiler))
+            buf_link = 0
+            buf_boiler = False
+
+    for i in range(1, n):
+        d = depth[i]
+        while stack and stack[-1][0] >= d:
+            _, was_block, was_excl, d_a, d_boiler = stack.pop()
+            in_a -= d_a
+            in_boiler -= d_boiler
+            if was_excl:
+                excluded -= 1
+            if was_block:
+                flush_s()
+                if not was_excl:
+                    flush_t()
+        t = tags[i]
+        if t == TEXT:
+            if not excluded:
+                piece = texts[i] or ""
+                buf_t.append(piece)
+                buf_s.append(piece)
+                if in_a or in_boiler:
+                    stripped = ws_sub(" ", piece).strip()
+                    if in_a:
+                        buf_link += len(stripped)
+                    if in_boiler and stripped:
+                        buf_boiler = True
+        elif t == COMMENT:
+            continue
+        elif t == "br":
+            flush_s()
+            if not excluded:
+                flush_t()
+        else:
+            is_excl = t in EXCLUDED_TAGS
+            is_block = t in BLOCK_TAGS
+            if is_block:
+                flush_s()
+                if not is_excl and not excluded:
+                    flush_t()
+            d_a = 1 if t == "a" else 0
+            d_boiler = 1 if t in _BOILER_CONTAINERS else 0
+            in_a += d_a
+            in_boiler += d_boiler
+            if is_excl:
+                excluded += 1
+            stack.append((d, is_block, is_excl, d_a, d_boiler))
+    while stack:
+        _, was_block, was_excl, d_a, d_boiler = stack.pop()
+        in_a -= d_a
+        in_boiler -= d_boiler
+        if was_excl:
+            excluded -= 1
+        if was_block:
+            flush_s()
+            if not was_excl:
+                flush_t()
+    flush_s()
+    flush_t()
+    return "\n".join(t_lines), s_lines
+
+
+def select_content(lines: list[tuple[str, int, int, bool]]) -> str:
+    """BOILER-SPEC v1 content selection over scored lines."""
     n = len(lines)
     keep = [False] * n
     for i, (txt, chars, link_chars, boiler) in enumerate(lines):
@@ -137,3 +245,8 @@ def main_text(dom: FlatDOM) -> str:
                 keep[i] = True
                 changed = True
     return "\n".join(lines[i][0] for i in range(n) if keep[i])
+
+
+def main_text(dom: FlatDOM) -> str:
+    """BOILER-SPEC v1 content selection."""
+    return select_content(score_lines(dom))

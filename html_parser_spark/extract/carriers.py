@@ -46,7 +46,7 @@ def collect_scripts(dom: FlatDOM) -> list[tuple[str, dict]]:
             text = "".join(
                 dom.texts[k] or "" for k in kids if tags[k] == TEXT
             )
-            out.append((text, dom.attrs[i] or {}))
+            out.append((text, dom.attrs_of(i) or {}))
     return out
 
 

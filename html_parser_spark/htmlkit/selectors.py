@@ -52,7 +52,9 @@ class SimpleSelector:
     def matches(self, dom: FlatDOM, i: int) -> bool:
         if self.tag is not None and dom.tags[i] != self.tag:
             return False
-        a = dom.attrs[i]
+        if self.id is None and not self.classes and not self.attrs:
+            return True
+        a = dom.attrs_of(i)
         if self.id is not None:
             if not a or a.get("id") != self.id:
                 return False

@@ -147,8 +147,18 @@ class FlatDOM:
         return self._children[i]
 
     # -- convenience accessors (used by rules, not hot loops) --------------
-    def attr(self, i: int, name: str) -> Optional[str]:
+    def attrs_of(self, i: int) -> Optional[dict]:
+        """Attr dict for node i, parsing the raw attribute substring on
+        first access (lazy: most elements' attrs are never read, so the
+        tokenizer stores the raw string and we memoize the parse here)."""
         a = self.attrs[i]
+        if type(a) is str:
+            a = _parse_attrs(a)
+            self.attrs[i] = a
+        return a
+
+    def attr(self, i: int, name: str) -> Optional[str]:
+        a = self.attrs_of(i)
         return a.get(name) if a else None
 
     def node_text(self, i: int) -> str:
@@ -256,7 +266,7 @@ def tokenize(html: str) -> FlatDOM:
             tags_app(tag)
             parent_app(top[0])
             depth_app(pdepth + 1)
-            attrs_app(_parse_attrs(raw_attrs) if raw_attrs else {})
+            attrs_app(raw_attrs if raw_attrs else {})  # lazy: see attrs_of
             texts_app(None)
             node = node_count
             node_count += 1

@@ -108,7 +108,6 @@ def synthesize_pages(spark: SparkSession, n: int,
 def _extract_one(url: str, html_bytes: Optional[bytes]) -> dict:
     from ..extract import boilerplate, pdfkit
     from ..extract.carriers import collect_scripts
-    from ..htmlkit.text import extract_text
     from ..htmlkit.tokenizer import tokenize
     from ..rules.profiles import extract_page
 
@@ -134,8 +133,10 @@ def _extract_one(url: str, html_bytes: Optional[bytes]) -> dict:
         html = bytes(html_bytes).decode("utf-8", errors="replace")
         dom = tokenize(html)
         out["n_nodes"] = len(dom)
-        out["text"] = extract_text(dom)
-        out["main_text"] = boilerplate.main_text(dom)
+        # One traversal for both outputs (equivalent to extract_text +
+        # main_text; see boilerplate.text_and_scored).
+        out["text"], scored = boilerplate.text_and_scored(dom)
+        out["main_text"] = boilerplate.select_content(scored)
         scripts = collect_scripts(dom)
         profile, env = extract_page(dom, scripts, url)
         out["profile"] = profile

@@ -274,3 +274,30 @@ class TestFragmentParsers:
         html = ("<p>Features:</p><ul><li>A</li></ul><ul><li>B</li></ul>")
         desc, feats, dims = F.sectionize_children(tokenize(html))
         assert desc == "" and feats == ["B"] and dims == []
+
+
+class TestCombinedPass:
+    """text_and_scored must be exactly extract_text + score_lines."""
+
+    def test_equivalent_on_corpus(self):
+        from html_parser_spark.sources import synth
+        from html_parser_spark.htmlkit.text import extract_text
+        for idx in range(120):
+            raw = synth.render_page(idx, filler=3)
+            if raw[:4] == b"%PDF":
+                continue
+            dom = tokenize(raw.decode("utf-8", "replace"))
+            t, s = boilerplate.text_and_scored(dom)
+            assert t == extract_text(dom)
+            assert s == boilerplate.score_lines(dom)
+
+    def test_equivalent_around_excluded_subtrees(self):
+        from html_parser_spark.htmlkit.text import extract_text
+        for html in ("a<noscript><div>x</div></noscript>b",
+                     "a<noscript><br></noscript>b",
+                     "a<script>x</script>b",
+                     "<div>a<style>p{}</style>b</div>c"):
+            dom = tokenize(html)
+            t, s = boilerplate.text_and_scored(dom)
+            assert t == extract_text(dom), html
+            assert s == boilerplate.score_lines(dom), html

@@ -36,7 +36,7 @@ class TestTokenizer:
 
     def test_attr_forms(self):
         dom = tokenize('<a href="u" data-x=\'y\' checked id=z class="c1 c2">t</a>')
-        a = dom.attrs[1]
+        a = dom.attrs_of(1)
         assert a == {"href": "u", "data-x": "y", "checked": "", "id": "z",
                      "class": "c1 c2"}
 
