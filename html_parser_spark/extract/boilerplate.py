@@ -175,9 +175,9 @@ def text_and_scored(dom: FlatDOM) -> tuple[str, list[tuple[str, int, int, bool]]
             if was_excl:
                 excluded -= 1
             if was_block:
-                flush_s()
+                buf_s and flush_s()
                 if not was_excl:
-                    flush_t()
+                    buf_t and flush_t()
         t = tags[i]
         if t == TEXT:
             if not excluded:
@@ -193,16 +193,16 @@ def text_and_scored(dom: FlatDOM) -> tuple[str, list[tuple[str, int, int, bool]]
         elif t == COMMENT:
             continue
         elif t == "br":
-            flush_s()
+            buf_s and flush_s()
             if not excluded:
-                flush_t()
+                buf_t and flush_t()
         else:
             is_excl = t in EXCLUDED_TAGS
             is_block = t in BLOCK_TAGS
             if is_block:
-                flush_s()
+                buf_s and flush_s()
                 if not is_excl and not excluded:
-                    flush_t()
+                    buf_t and flush_t()
             d_a = 1 if t == "a" else 0
             d_boiler = 1 if t in _BOILER_CONTAINERS else 0
             in_a += d_a
@@ -217,11 +217,11 @@ def text_and_scored(dom: FlatDOM) -> tuple[str, list[tuple[str, int, int, bool]]
         if was_excl:
             excluded -= 1
         if was_block:
-            flush_s()
+            buf_s and flush_s()
             if not was_excl:
-                flush_t()
-    flush_s()
-    flush_t()
+                buf_t and flush_t()
+    buf_s and flush_s()
+    buf_t and flush_t()
     return "\n".join(t_lines), s_lines
 
 

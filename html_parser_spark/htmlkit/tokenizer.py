@@ -62,6 +62,10 @@ _SIBLING_CLOSERS = {
     "tfoot": frozenset(("tr", "td", "th", "tbody")),
 }
 
+# Union of tags that can trigger ANY implied close — checked inline in the
+# hot loop so _implied_closes is only called when it could matter.
+_IMPLIED_TRIGGERS = _P_CLOSERS | frozenset(_SIBLING_CLOSERS)
+
 _TOKEN_RE = re.compile(
     r"""
       <!--(?P<comment>.*?)(?:-->|\Z)
@@ -258,7 +262,7 @@ def tokenize(html: str) -> FlatDOM:
         open_tag = m.group("open")
         if open_tag is not None:
             tag = open_tag if open_tag.islower() else open_tag.lower()
-            if len(stack) > 1:
+            if tag in _IMPLIED_TRIGGERS and len(stack) > 1:
                 _implied_closes(stack, tag)
                 top = stack[-1]
             pdepth = top[2]
