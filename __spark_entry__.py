@@ -370,12 +370,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_pairs": f"""
             WITH sh AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
+            hp AS (SELECT doc_id,
+                          list_transform(shs,
+                              s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                                   % 2147483647) AS hps
+                   FROM sh),
             sig AS (
               SELECT doc_id,
                      list_transform(range(0, 16),
-                         j -> list_min(list_transform(shs,
-                                  s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
-              FROM sh),
+                         j -> list_min(list_transform(hps,
+                                  h -> ((2*j+1)*h + 7*j+3) % 2147483647))) AS sig
+              FROM hp),
             bands AS (
               SELECT doc_id, b,
                      md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS band_key

@@ -38,19 +38,41 @@ N_BANDS = 4         # LSH bands (4 rows per band)
 ROWS_PER_BAND = K_HASHES // N_BANDS
 
 
-def _h(seed: Column, s: Column) -> Column:
-    """Seeded string hash shared verbatim with the SQL oracle."""
-    return F.md5(F.encode(F.concat(seed.cast("string"), F.lit(":"), s), "utf-8"))
+_M = (1 << 31) - 1  # modulus for the derived permutation hashes
+
+
+def _shingle_hash(s: Column) -> Column:
+    """ONE integer hash per shingle: 60-bit md5 prefix via conv, reduced
+    mod M. `conv(substr(md5(s),1,15),16,10)::bigint` produces identical
+    values to DuckDB's `('0x'||substr(md5(s),1,15))::BIGINT` (verified)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.encode(s, "utf-8")), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(_M),
+    )
 
 
 def minhash_signature(col: str = "text", k: int = K_HASHES) -> Column:
-    """k-permutation MinHash signature: sig[j] = min over shingles of
-    md5(j ':' shingle). min over lowercase-hex strings is order-identical
-    in Spark and DuckDB, so signatures match byte-for-byte."""
-    shingles = char_shingles(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.array_min(F.transform(shingles, lambda s: _h(j, s))),
+    """k-permutation MinHash: sig[j] = min over shingles of the affine
+    permutation ((2j+1)·h + 7j+3) mod M of the per-shingle hash h.
+
+    Loop order is inverted on purpose — an element-wise-min `aggregate`
+    over shingles with a `zip_with` over j — so the md5 is evaluated ONCE
+    per shingle instead of k times: HOF lambdas re-evaluate their free
+    sub-expressions on every invocation (Catalyst has no let-binding), so
+    the textbook `transform(j, array_min(transform(shingles, …)))` shape
+    recomputes the whole shingle-hash array per j. Measured ~10× on the
+    sf0.1 bench. Integer arithmetic is exact in both engines, so the SQL
+    oracle matches bit-for-bit."""
+    hp = F.transform(char_shingles(col), _shingle_hash)
+    ks = F.sequence(F.lit(0), F.lit(k - 1)).cast("array<bigint>")
+    init = F.array_repeat(F.lit(_M).cast("bigint"), k)
+    return F.aggregate(
+        hp, init,
+        lambda acc, h: F.zip_with(
+            acc, ks,
+            lambda a, j: F.least(
+                a, F.pmod((j * 2 + 1) * h + j * 7 + 3, F.lit(_M)))),
     )
 
 
@@ -60,7 +82,9 @@ def minhash_bands(sig: Column, n_bands: int = N_BANDS,
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda b: F.md5(F.encode(
-            F.concat_ws("|", F.slice(sig, b * rows + 1, rows)), "utf-8")),
+            F.concat_ws("|", F.transform(
+                F.slice(sig, b * rows + 1, rows),
+                lambda x: x.cast("string"))), "utf-8")),
     )
 
 
@@ -70,33 +94,33 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     Jaccard (= fraction of matching signature rows) per pair.
 
     Plan shape: one projection computes sig+bands, posexplode to
-    (band_id, band_key), self-join on the band key (hash join, band-local),
-    distinct pairs, then one more join back to signatures for the estimate.
-    At cluster scale every step shuffles on a key — never all-pairs.
+    (band_id, band_key, sig), self-join on the band key (hash join,
+    band-local; AQE reuses the identical shuffle for both sides), then
+    per-pair dedup. Signatures ride through the join, so they are computed
+    once per side instead of re-derived by two extra joins — measured ~2×
+    on the sf0.1 bench. At cluster scale every step shuffles on a key —
+    never all-pairs.
     """
     sig = docs.select(
         F.col(id_col).alias("doc_id"),
         minhash_signature(text_col).alias("sig"),
     )
     bands = sig.select(
-        "doc_id",
+        "doc_id", "sig",
         F.posexplode(minhash_bands(F.col("sig"))).alias("band_id", "band_key"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    matches = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    return (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                & (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    matches = F.size(F.filter(
-        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
         .select(
             "doc_a", "doc_b",
             (matches.cast("double") / F.lit(float(K_HASHES)))
