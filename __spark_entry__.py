@@ -166,7 +166,22 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         textops.token_count("text").alias("n_tokens"),
+        textops.ws_token_count("text").alias("n_ws_tokens"),
+        textops.bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_actual"),
+    )
+
+
+def _q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fp = textops.winnow_fingerprint(docs)
+    # Canonical comma-joined string so the cross-engine value hash is
+    # representation-independent.
+    return fp.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(
+            F.col("fingerprint"),
+            lambda x: x.cast("string"))).alias("fingerprint"),
     )
 
 
@@ -252,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh_topk,  # approximate by design → rows-only
         "token_stats": _q_token_stats,
+        "winnow_fingerprint": _q_winnow_fingerprint,
         "langid": _q_langid,
         "quality_score": _q_quality,
         "shingle_count": _q_shingles,
@@ -347,8 +363,25 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\w+')) AS n_tokens,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS n_bpe_tokens,
                    length(text) AS n_chars_actual
             FROM documents
+        """,
+        "winnow_fingerprint": r"""
+            WITH hp AS (
+              SELECT doc_id,
+                     list_transform(
+                         range(1, GREATEST(length(text) - 7, 1) + 1),
+                         i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT
+                              % 2147483647) AS hs
+              FROM documents)
+            SELECT doc_id,
+                   array_to_string(list_sort(list_distinct(list_transform(
+                       range(1, GREATEST(len(hs) - 3, 0) + 1),
+                       w -> list_min(hs[w : w + 3])))), ',') AS fingerprint
+            FROM hp
         """,
         "langid": rf"""
             SELECT doc_id,

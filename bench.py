@@ -191,7 +191,8 @@ def main() -> None:
     for name in ("pricing_summary", "top_revenue_nations",
                  "semi_join_priority", "weighted_avg_discount",
                  "exact_dedup", "minhash_lsh_pairs", "simhash",
-                 "jaccard_pairs", "token_stats", "langid", "quality_score",
+                 "jaccard_pairs", "token_stats", "winnow_fingerprint",
+                 "langid", "quality_score",
                  "shingle_count", "cosine_topk", "embedding_near_dup",
                  "ann_lsh_topk", "explode_tokens"):
         queries[name] = _timed(lambda n=name: qmap[n](spark, SF_DIR))

@@ -59,6 +59,14 @@ def sample_video_frames(payload: bytes, every_ms: int = 1000) -> "object":
         "real frame sampling requires ffmpeg (not in this sandbox)")
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize — STUB: PIL is not in this container. The Spark-side
+    plumbing (binary in → binary out inside the same mapInPandas batch) is
+    what :func:`extract_media_features` exercises."""
+    raise NotImplementedError(
+        "real image resize requires PIL (not in this sandbox)")
+
+
 def _features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for b in batches:
         ids = b["media_id"].tolist()

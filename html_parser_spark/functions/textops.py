@@ -22,8 +22,24 @@ _TOKEN_PATTERN = r"\w+"
 
 
 def token_count(col: str = "text") -> Column:
-    """Whitespace/word-regex token count (BPE-ish proxy)."""
+    """Word-regex token count."""
     return F.size(F.regexp_extract_all(F.col(col), F.lit(_TOKEN_PATTERN), F.lit(0)))
+
+
+def ws_token_count(col: str = "text") -> Column:
+    """Whitespace-split token count."""
+    return F.size(F.split(F.trim(F.col(col)), r"\s+"))
+
+
+# BPE-ish pre-tokenizer classes (GPT-2-style, RE2-portable): letter runs,
+# digit runs, non-alnum-non-space runs — each becomes >=1 BPE token.
+_BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(col: str = "text") -> Column:
+    """BPE-ish token count: the GPT-2-style pre-tokenization classes
+    (letter/digit/punctuation runs); a cheap lower bound on real BPE."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(_BPE_PATTERN), F.lit(0)))
 
 
 def word_hits(col: str, words: list[str]) -> Column:
@@ -70,6 +86,57 @@ def char_shingles(col: str = "text", width: int = 16, stride: int = 8) -> Column
 
 def doc_fingerprint(col: str = "text") -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized text
-    (rolling-hash analog; exact-dedup key)."""
+    (exact-dedup key)."""
     norm = F.lower(F.regexp_replace(F.col(col), r"\s+", " "))
     return F.md5(F.encode(norm, "utf-8"))
+
+
+def position_hashes(col: str = "text", width: int = 8) -> Column:
+    """Per-position character k-gram hashes (the rolling-hash sequence
+    behind winnowing): one 31-bit int per text position, DuckDB-portable
+    (same conv/md5 scheme as MinHash)."""
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(F.col(col)) - F.lit(width - 1), F.lit(1)))
+    return F.transform(
+        starts,
+        lambda i: F.pmod(
+            F.conv(F.substring(
+                F.md5(F.encode(F.substring(F.col(col), i, width), "utf-8")),
+                1, 15), 16, 10).cast("bigint"),
+            F.lit((1 << 31) - 1)))
+
+
+def winnow_fingerprint(docs, id_col: str = "doc_id", text_col: str = "text",
+                       width: int = 8, window: int = 4):
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003 —
+    public method): the sorted distinct minima of every ``window``-length
+    sliding window over the position-hash sequence.
+
+    Expressed relationally: posexplode the hash sequence, windowed MIN over
+    (doc, position) rows, groupBy collect — the windowed aggregation runs
+    JVM-side and the hash array is computed once per document (an
+    array-HOF formulation would re-evaluate the hash array per window —
+    the same lambda-re-evaluation trap as MinHash)."""
+    from pyspark.sql import Window
+
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        position_hashes(text_col, width).alias("hs"),
+    ).select("doc_id", F.size("hs").alias("n"),
+             F.posexplode("hs").alias("pos", "h"))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(0, window - 1))
+    mins = (hashed
+            .select("doc_id", "pos", "n",
+                    F.min("h").over(w).alias("wmin"))
+            .where(F.col("pos") + window - 1 < F.col("n"))
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.array_distinct(
+                F.collect_list("wmin"))).alias("fingerprint")))
+    # Docs too short for one full window still get a row (empty fingerprint)
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return (ids.join(mins, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("fingerprint",
+                               F.array().cast("array<bigint>"))
+                    .alias("fingerprint")))
