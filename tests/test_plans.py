@@ -61,3 +61,27 @@ def test_host_salted_variant_has_single_exchange(spark):
 def test_relational_queries_keep_codegen(spark):
     df = E.queries()["pricing_summary"](spark, SF)
     assert A.has_whole_stage_codegen(df), A.formatted_plan(df)
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Bucketing both sides on the join key co-locates the join: the plan
+    must contain NO Exchange — the 100 TB pattern for repeated large-table
+    joins (pre-shuffle once at write time, join free forever after)."""
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    left.write.bucketBy(8, "k").sortBy("k").mode("overwrite") \
+        .saveAsTable("bk_left")
+    right.write.bucketBy(8, "k").sortBy("k").mode("overwrite") \
+        .saveAsTable("bk_right")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_left").join(spark.table("bk_right"), "k")
+        plan = A.formatted_plan(joined)
+        assert A.n_exchanges(joined) == 0, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
