@@ -436,24 +436,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM tok
         """,
         "jaccard_pairs": f"""
-            WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents),
-            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            WITH sh0 AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
+            sh AS (SELECT doc_id, unnest(shs) AS sh FROM sh0),
             rare AS (SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS df
                                      FROM sh GROUP BY sh) WHERE df <= 50),
             shr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
-            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                             COUNT(*) AS n_common
-                      FROM shr a JOIN shr b
-                        ON a.sh = b.sh AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2)
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM shr a JOIN shr b
+                       ON a.sh = b.sh AND a.doc_id < b.doc_id),
+            scored AS (
+              SELECT c.doc_a, c.doc_b,
+                     len(list_filter(sa.shs,
+                         s -> list_contains(sb.shs, s))) AS n_common,
+                     len(sa.shs) AS n_a, len(sb.shs) AS n_b
+              FROM cand c
+              JOIN sh0 sa ON sa.doc_id = c.doc_a
+              JOIN sh0 sb ON sb.doc_id = c.doc_b)
             SELECT doc_a, doc_b,
                    ROUND(CAST(n_common AS DOUBLE)
-                         / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
-            FROM inter
-            JOIN sizes na ON na.doc_id = inter.doc_a
-            JOIN sizes nb ON nb.doc_id = inter.doc_b
+                         / (n_a + n_b - n_common), 6) AS jaccard
+            FROM scored
             WHERE ROUND(CAST(n_common AS DOUBLE)
-                        / (na.n_sh + nb.n_sh - n_common), 6) >= 0.1
+                        / (n_a + n_b - n_common), 6) >= 0.1
         """,
         "embedding_near_dup": f"""
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,

@@ -162,31 +162,32 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     shingle. Shingles seen in more than ``max_df`` docs are dropped before
     the self-join (boilerplate guard): without it one hot shingle in d docs
     creates d² join rows — the classic skew bomb at crawl scale. The
-    document-frequency filter is itself a broadcastable aggregate."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(char_shingles(text_col)).alias("sh"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    document-frequency filter is itself a broadcastable aggregate.
+
+    The rare-shingle join generates CANDIDATE pairs only; the Jaccard for
+    a surviving pair is then computed exactly over the FULL shingle sets
+    (array_intersect) — counting the intersection over rare shingles alone
+    would systematically underestimate boilerplate-heavy duplicates."""
+    shs = docs.select(F.col(id_col).alias("doc_id"),
+                      char_shingles(text_col).alias("shs"))
+    sh = shs.select("doc_id", F.explode("shs").alias("sh"))
     rare = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("df")) \
              .where(F.col("df") <= max_df).select("sh")
     sh_r = sh.join(F.broadcast(rare), "sh")
     a = sh_r.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh_r.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
+    cand = (
         a.join(b, ["sh"]).where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .select("doc_a", "doc_b").distinct()
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    fa = shs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    fb = shs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    n_common = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = F.round(
+        n_common.cast("double")
+        / (F.size("shs_a") + F.size("shs_b") - n_common), 6)
     return (
-        inter.join(na, "doc_a").join(nb, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.round(F.col("n_common").cast("double")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6)
-            .alias("jaccard"),
-        )
+        cand.join(fa, "doc_a").join(fb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= F.lit(min_jaccard))
     )

@@ -10,8 +10,10 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 __all__ = [
-    "token_count", "word_hits", "langid", "quality_score", "char_shingles",
-    "doc_fingerprint", "EN_STOPWORDS", "ES_STOPWORDS",
+    "token_count", "ws_token_count", "bpe_token_count", "word_hits",
+    "langid", "quality_score", "char_shingles", "doc_fingerprint",
+    "position_hashes", "winnow_fingerprint",
+    "EN_STOPWORDS", "ES_STOPWORDS",
 ]
 
 # Small fixed stopword lists — shared verbatim with the SQL oracle.
@@ -27,8 +29,10 @@ def token_count(col: str = "text") -> Column:
 
 
 def ws_token_count(col: str = "text") -> Column:
-    """Whitespace-split token count."""
-    return F.size(F.split(F.trim(F.col(col)), r"\s+"))
+    """Whitespace-split token count (0 for empty/all-whitespace text —
+    ``split('')`` would otherwise yield ``['']`` and count 1)."""
+    return F.when(F.length(F.trim(F.col(col))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(col)), r"\s+")))
 
 
 # BPE-ish pre-tokenizer classes (GPT-2-style, RE2-portable): letter runs,

@@ -10,7 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["dot", "l2_norm", "cosine", "brute_force_topk", "lsh_bucket",
+__all__ = ["dot", "l2_norm", "cosine", "dot_unrolled", "l2_norm_unrolled",
+           "brute_force_topk", "lsh_bucket",
            "near_dup_pairs", "lsh_bucketed_topk"]
 
 
@@ -80,8 +81,7 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
 
 def near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding",
-                   dim: int = None) -> DataFrame:
+                   vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all-pairs baseline).
 
     Cosine is rounded to 6 decimals *before* the threshold compare so the
@@ -161,17 +161,22 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     so this is a shuffle-on-key equi-join — the 100 TB path where the
     brute-force cross product is impossible. Recall < 1.0 by construction
     (driver records rows-only for this query)."""
+    # Norms hoisted per row before the join (mirrors brute_force_topk) —
+    # cosine() inside the pair projection would re-fold both norms per pair.
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"),
+                       l2_norm(F.col(vec_col)).alias("q_norm"),
                        lsh_bucket(F.col(vec_col), n_bits).alias("bucket"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"),
+                      l2_norm(F.col(vec_col)).alias("c_norm"),
                       lsh_bucket(F.col(vec_col), n_bits).alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+                F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                        / (F.col("q_norm") * F.col("c_norm")), 6)
                 .alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -297,6 +297,13 @@ def write_snapshot(extracted: DataFrame, table_dir: str,
     so a crash mid-write never exposes a half snapshot (resume then simply
     reprocesses the uncommitted run).
     """
+    # Idempotent by run_id: a replayed batch (foreachBatch is
+    # at-least-once — crash after the manifest rename but before the
+    # streaming checkpoint records the batch) must NOT append a second
+    # manifest for the same data dir, or committed_table double-counts.
+    for snap in committed_snapshots(table_dir):
+        if snap.get("run_id") == run_id:
+            return snap
     data_dir = os.path.join(table_dir, "data", f"run_id={run_id}")
     extracted.write.mode("overwrite").parquet(data_dir)
     spark = extracted.sparkSession

@@ -156,7 +156,12 @@ def _session_fn(key: Tuple, pdfs: Iterable[pd.DataFrame],
             start_us, n, val = t, 0, 0.0
         if not n:
             start_us = t
-        last_us = t
+        else:
+            # Late cross-batch event: absorb into the current session
+            # without moving its bounds backwards (last_us must stay the
+            # session max or a later event computes a bogus gap).
+            start_us = min(start_us, t)
+        last_us = max(last_us, t) if n else t
         n += 1
         val += v
     state.update((start_us, last_us, n, val))

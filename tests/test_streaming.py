@@ -93,3 +93,72 @@ def test_sessionize_stateful_stream(spark, tmp_path):
               for r in sink}
     assert (1, "2024-01-01 10:00:00", 2, 3.0) in closed
     assert not any(u == 2 for (u, *_rest) in closed)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _session_fn directly."""
+
+    def __init__(self, tup=None):
+        self._tup = tup
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._tup is not None
+
+    @property
+    def get(self):
+        return self._tup
+
+    def update(self, tup):
+        self._tup = tup
+
+    def remove(self):
+        self._tup = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_session_fn_late_event_does_not_regress_bounds():
+    """A late cross-batch event must not move last_us backwards: the next
+    on-time event would otherwise see a bogus >gap delta and split the
+    session with session_end before events it contains."""
+    import pandas as pd
+    from html_parser_spark.streaming.stream import _session_fn
+
+    base = pd.Timestamp("2025-01-01 10:00:00")
+    state = _FakeState()
+    # Batch 1: one event at 10:00 → open session in state.
+    pdf1 = pd.DataFrame({"ts": [base], "value": [1.0]})
+    list(_session_fn(("u1",), [pdf1], state))
+    assert state.exists
+    # Batch 2: late 09:50 event, then 10:20 (gap vs 10:00 is 20 min < 30).
+    pdf2 = pd.DataFrame({
+        "ts": [base - pd.Timedelta("10min"), base + pd.Timedelta("20min")],
+        "value": [1.0, 1.0]})
+    out = list(_session_fn(("u1",), [pdf2], state))
+    assert out == []          # no split: still one open session
+    start_us, last_us, n, val = state.get
+    assert n == 3
+    assert pd.Timestamp(start_us, unit="us") == base - pd.Timedelta("10min")
+    assert pd.Timestamp(last_us, unit="us") == base + pd.Timedelta("20min")
+
+
+def test_write_snapshot_idempotent_per_run_id(spark, tmp_path):
+    """Replayed foreachBatch commit (same run_id) must not append a second
+    manifest for the same data dir."""
+    from html_parser_spark.job import pipeline as P
+
+    df = spark.range(0, 10).selectExpr(
+        "cast(id as string) AS url", "current_timestamp() AS warc_ts",
+        "'en' AS lang", "'ok' AS status", "'p' AS profile",
+        "cast(null as string) AS envelope", "'n' AS name", "'b' AS brand",
+        "1.0 AS price", "2.0 AS rating", "'t' AS text", "'m' AS main_text",
+        "1 AS n_nodes", "cast(null as string) AS error")
+    table = str(tmp_path / "tbl")
+    m1 = P.write_snapshot(df, table, "stream-000001")
+    m2 = P.write_snapshot(df, table, "stream-000001")   # replay
+    assert m2["snapshot_id"] == m1["snapshot_id"]
+    assert len(P.committed_snapshots(table)) == 1
+    assert P.committed_table(spark, table).count() == 10
