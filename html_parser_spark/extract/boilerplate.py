@@ -176,7 +176,7 @@ def text_and_scored(dom: FlatDOM) -> tuple[str, list[tuple[str, int, int, bool]]
                 excluded -= 1
             if was_block:
                 buf_s and flush_s()
-                if not was_excl:
+                if not was_excl and not excluded:
                     buf_t and flush_t()
         t = tags[i]
         if t == TEXT:
@@ -218,7 +218,7 @@ def text_and_scored(dom: FlatDOM) -> tuple[str, list[tuple[str, int, int, bool]]
             excluded -= 1
         if was_block:
             buf_s and flush_s()
-            if not was_excl:
+            if not was_excl and not excluded:
                 buf_t and flush_t()
     buf_s and flush_s()
     buf_t and flush_t()

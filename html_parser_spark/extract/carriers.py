@@ -32,7 +32,8 @@ from ..htmlkit.tokenizer import FlatDOM, TEXT
 __all__ = [
     "collect_scripts", "script_by_id", "script_by_type", "script_containing",
     "json_script_by_id", "json_scripts_by_type", "webpack_entry_data",
-    "regex_json", "regex_scalar", "unescape_embedded_json", "detect_carrier",
+    "regex_json", "regex_scalar", "regex_all", "unescape_embedded_json",
+    "detect_carrier",
 ]
 
 

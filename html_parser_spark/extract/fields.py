@@ -17,9 +17,13 @@ from ..htmlkit import selectors as S
 
 __all__ = [
     "parse_money", "parse_money_triple", "parse_int", "strip_query",
-    "prefix_url", "collapse_ws",
+    "prefix_url", "collapse_ws", "decode_b64",
     "hires_image", "parse_spec_table", "parse_kv_table", "parse_ul",
-    "sectionize_lines", "weighted_rating", "dedup_preserve_order",
+    "parse_plain_table", "parse_sectioned_table", "parse_strong_props",
+    "parse_html_as_data", "normalize_specs", "join_variant_criteria",
+    "sectionize_lines", "sectionize_children", "weighted_rating",
+    "dedup_preserve_order", "camel_to_snake", "snake_case_keys",
+    "restructure_nutrition", "order_keys", "NUTRITION_KEYS",
 ]
 
 # Comma-grouped form needs ≥1 ",ddd" group, else fall back to a plain number
@@ -98,14 +102,17 @@ def collapse_ws(s: Optional[str]) -> Optional[str]:
 
 
 _TIMG_RE = re.compile(r"timg-h\d+(?:-w\d+)?")
+_RESIZE_RE = re.compile(r"resize-h\d+(?:-w\d+)?")
 _COMPR_RE = re.compile(r"compr-r\d+")
 
 
 def hires_image(u: Optional[str]) -> Optional[str]:
-    """T11 hi-res rewrite (prev/parse_wayfair.py:87-90,203-204)."""
+    """T11 hi-res rewrite (prev/parse_wayfair.py:85-90,203-204): timg and
+    existing resize segments → resize-h800-w800, compr → compr-r85."""
     if u is None:
         return None
     u = _TIMG_RE.sub("resize-h800-w800", u)
+    u = _RESIZE_RE.sub("resize-h800-w800", u)
     return _COMPR_RE.sub("compr-r85", u)
 
 

@@ -23,6 +23,10 @@ __all__ = ["is_pdf", "extract_pdf_text"]
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj")
 _TJ_ARRAY_RE = re.compile(rb"\[((?:\\.|[^\]])*)\]\s*TJ", re.DOTALL)
+# Combined show-text scan: one pass keeps Tj and TJ in document order
+# (separate finditer passes would emit all Tj lines before any TJ line).
+_SHOW_RE = re.compile(
+    rb"\(((?:\\.|[^\\()])*)\)\s*Tj|\[((?:\\.|[^\]])*)\]\s*TJ", re.DOTALL)
 _STR_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
 _ESC_RE = re.compile(rb"\\([nrtbf()\\]|[0-7]{1,3})")
 
@@ -52,11 +56,12 @@ def extract_pdf_text(data: bytes) -> str:
             content = zlib.decompress(payload)
         except zlib.error:
             content = payload  # uncompressed stream
-        for tm in _TJ_RE.finditer(content):
-            lines.append(_unescape(tm.group(1)).decode("latin-1"))
-        for am in _TJ_ARRAY_RE.finditer(content):
-            parts = [_unescape(s.group(1)).decode("latin-1")
-                     for s in _STR_RE.finditer(am.group(1))]
-            if parts:
-                lines.append("".join(parts))
+        for tm in _SHOW_RE.finditer(content):
+            if tm.group(1) is not None:                       # (…) Tj
+                lines.append(_unescape(tm.group(1)).decode("latin-1"))
+            else:                                             # […] TJ
+                parts = [_unescape(s.group(1)).decode("latin-1")
+                         for s in _STR_RE.finditer(tm.group(2))]
+                if parts:
+                    lines.append("".join(parts))
     return "\n".join(ln for ln in lines if ln.strip())

@@ -135,32 +135,29 @@ def compile_selector(selector: str) -> CompiledSelector:
     return CompiledSelector(chains)
 
 
-def _candidates(dom: FlatDOM, simple: SimpleSelector) -> range:
-    return range(1, len(dom))
-
-
 def _match_chain(dom: FlatDOM, i: int, chain: list) -> bool:
-    """Check node i against the full chain (rightmost already matched)."""
-    # Walk leftwards through ancestors.
+    """Check node i against the full chain (rightmost already matched).
+
+    Backtracks over descendant steps: a greedy ancestor walk would bind
+    the NEAREST matching ancestor and then fail chains like ``A > B C``
+    when a deeper B also matches but its parent is not A."""
+    return _match_up(dom, i, chain, len(chain) - 2)
+
+
+def _match_up(dom: FlatDOM, node: int, chain: list, k: int) -> bool:
+    if k < 0:
+        return True
     parent = dom.parent
-    pos = len(chain) - 1
-    node = i
-    k = pos - 1
-    while k >= 0:
-        simple, comb = chain[k]
-        nxt_comb = comb  # combinator between chain[k] and chain[k+1]
-        if nxt_comb == ">":
-            node = parent[node]
-            if node <= 0 or not simple.matches(dom, node):
-                return False
-        else:
-            node = parent[node]
-            while node > 0 and not simple.matches(dom, node):
-                node = parent[node]
-            if node <= 0:
-                return False
-        k -= 1
-    return True
+    simple, comb = chain[k]  # comb relates chain[k] to chain[k+1]
+    p = parent[node]
+    if comb == ">":
+        return (p > 0 and simple.matches(dom, p)
+                and _match_up(dom, p, chain, k - 1))
+    while p > 0:
+        if simple.matches(dom, p) and _match_up(dom, p, chain, k - 1):
+            return True
+        p = parent[p]
+    return False
 
 
 def select(dom: FlatDOM, selector: str, limit: int = 0,

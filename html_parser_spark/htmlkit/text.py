@@ -79,7 +79,9 @@ def extract_text(dom: FlatDOM) -> str:
             _, was_block, was_excluded = stack.pop()
             if was_excluded:
                 excluded -= 1
-            elif was_block:
+            elif was_block and not excluded:
+                # blocks INSIDE an excluded subtree contribute no line
+                # boundary either (TEXT-SPEC rule 1; matches the oracle)
                 flush()
         tag = tags[i]
         if tag == TEXT:
@@ -107,7 +109,7 @@ def extract_text(dom: FlatDOM) -> str:
         _, was_block, was_excluded = stack.pop()
         if was_excluded:
             excluded -= 1
-        elif was_block:
+        elif was_block and not excluded:
             flush()
     flush()
     return "\n".join(lines)

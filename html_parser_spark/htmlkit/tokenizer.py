@@ -86,12 +86,6 @@ _ATTR_RE = re.compile(
     re.VERBOSE,
 )
 
-_HAS_AMP = "&"
-
-
-def _decode(s: str) -> str:
-    # Entity decode only when an ampersand is present (fast path).
-    return unescape(s) if _HAS_AMP in s else s
 
 
 class FlatDOM:
@@ -335,14 +329,6 @@ def _find_ci(haystack: str, needle: str, start: int) -> int:
     # Fallback: case-insensitive scan (rare: '</SCRIPT>' etc.)
     m = re.compile(re.escape(needle), re.IGNORECASE).search(haystack, start)
     return m.start() if m else -1
-
-
-def _emit_text(dom: FlatDOM, stack: list, raw: str, decode: bool = True) -> None:
-    if not raw:
-        return
-    parent_id, parent_tag = stack[-1]
-    dom._add(TEXT, parent_id, dom.depth[parent_id] + 1,
-             text=_decode(raw) if decode else raw)
 
 
 def _implied_closes(stack: list, tag: str) -> None:

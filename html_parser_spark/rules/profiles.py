@@ -352,8 +352,9 @@ def extract_nextprops_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[
          "price": o.get("price"),
          "listing_price": o.get("comparePrice"),
          "in_stock": o.get("isInStock"),
-         "selector": (_BB_IMG_PREFIX + viewer[o.get("oViewerImagesIds")]
-                      if o.get("oViewerImagesIds") in viewer else None),
+         "selector": (_BB_IMG_PREFIX + cp
+                      if (cp := viewer.get(o.get("oViewerImagesIds")))
+                      is not None else None),
          "url": None}
         for o in prod.get("options") or []
     ]
@@ -811,10 +812,7 @@ def extract_webpack_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[di
             u = dom.attr(im, "src") if im is not None else None
             if not u or u.startswith("data:image"):
                 continue
-            u = re.sub(r"timg-h\d+(?:-w\d+)?", "resize-h800-w800", u)
-            u = re.sub(r"resize-h\d+(?:-w\d+)?", "resize-h800-w800", u)
-            u = re.sub(r"compr-r\d+", "compr-r85", u)
-            images.append(u)
+            images.append(F.hires_image(u))  # T11 (timg/resize/compr)
     # T15 fallback chains (:96-132): JSON price → CSS regex; CSS list
     # price → JSON; JSON currency → first char of the price text.
     price = gj(price_data, ["customerPrice", "quantityPrice", "value"])

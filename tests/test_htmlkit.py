@@ -158,3 +158,15 @@ class TestSelectors:
         assert S.select_one(dom, css) is not None
         css2 = S.xpath_to_css("//ul//li")
         assert len(S.select(dom, css2)) == 2
+
+
+def test_chain_backtracks_over_descendant_steps():
+    """'article > div span': the nearest div ancestor of span fails the
+    '>' step, but a higher div satisfies it — requires backtracking."""
+    from html_parser_spark.htmlkit import selectors as S
+    from html_parser_spark.htmlkit.tokenizer import tokenize
+    dom = tokenize("<article><div><section><div><span>x</span>"
+                   "</div></section></div></article>")
+    hits = S.select(dom, "article > div span")
+    assert len(hits) == 1
+    assert dom.tags[hits[0]] == "span"
