@@ -859,14 +859,27 @@ def _render_discover_detail(p: dict, url: str) -> str:
     )
 
 
+def _nextdata_serp_slots(idx: int) -> list:
+    """SERP slot list shared by renderer and golden (None = ad slot):
+    one derivation so the RNG seed / ad modulus can never drift apart."""
+    r = _rng(idx * 7 + 3)
+    return [None if k % 4 == 3 else payload_for(idx * 1000 + k)
+            for k in range(r.randint(4, 10))]
+
+
+def _css_serp_items(idx: int) -> list:
+    """Card payloads shared by the css-serp renderer and golden."""
+    r = _rng(idx * 13 + 5)
+    return [payload_for(idx * 1000 + k) for k in range(r.randint(3, 8))]
+
+
 def _render_nextdata_serp(p: dict, url: str, idx: int) -> str:
     # walmart/parse_walmart.py:36-71 — mix of Product / non-Product items (Q7).
-    r = _rng(idx * 7 + 3)
-    n_items = r.randint(4, 10)
+    slots = _nextdata_serp_slots(idx)
+    n_items = len(slots)
     items = []
-    for k in range(n_items):
-        sub = payload_for(idx * 1000 + k)
-        if k % 4 == 3:
+    for k, sub in enumerate(slots):
+        if sub is None:
             items.append({"__typename": "AdPlaceholder", "adUnit": f"ad-{k}"})
         else:
             spid = int(sub["product_id"])
@@ -925,11 +938,8 @@ def _render_nextdata_serp(p: dict, url: str, idx: int) -> str:
 
 def _render_css_serp(p: dict, url: str, idx: int) -> str:
     # prev/parse_mercado.py:30-66 — no JSON carrier, split fraction/cents.
-    r = _rng(idx * 13 + 5)
-    n_items = r.randint(3, 8)
     cards = []
-    for k in range(n_items):
-        sub = payload_for(idx * 1000 + k)
+    for k, sub in enumerate(_css_serp_items(idx)):
         spid = int(sub["product_id"])
         frac = int(sub["price"])
         cents = int(round((sub["price"] - frac) * 100))
@@ -1246,13 +1256,12 @@ def golden_envelope(idx: int) -> Optional[dict]:
         return None
 
     if profile == "nextdata-serp":
-        r = _rng(idx * 7 + 3)
-        n_items = r.randint(4, 10)
+        slots = _nextdata_serp_slots(idx)
+        n_items = len(slots)
         results = []
-        for k in range(n_items):
-            if k % 4 == 3:
+        for k, sub in enumerate(slots):
+            if sub is None:
                 continue
-            sub = payload_for(idx * 1000 + k)
             spid = int(sub["product_id"])
             base = "https://www.walmarket.example.com"
             results.append({
@@ -1346,11 +1355,8 @@ def golden_envelope(idx: int) -> Optional[dict]:
         }
 
     if profile == "css-serp":
-        r = _rng(idx * 13 + 5)
-        n_items = r.randint(3, 8)
         results = []
-        for k in range(n_items):
-            sub = payload_for(idx * 1000 + k)
+        for k, sub in enumerate(_css_serp_items(idx)):
             spid = int(sub["product_id"])
             frac = int(sub["price"])
             cents = int(round((sub["price"] - frac) * 100))
@@ -1602,7 +1608,9 @@ def golden_envelope(idx: int) -> Optional[dict]:
             {"name": f"Feature {k}", "value": feat}
             for k, feat in enumerate(p["features"])]
         detail["model_no"] = f"BB-{pid}"
-        detail["is_energy_star_certified"] = pid % 6 == 0 and pid % 3 == 0
+        # component rendered iff pid%3==0; certified flag pid%6==0 —
+        # pid%6==0 implies both, so the expectation collapses to it
+        detail["is_energy_star_certified"] = pid % 6 == 0
     elif profile == "webpack-detail":
         pid = int(p["product_id"])
         detail["sku"] = f"W{p['product_id']}"

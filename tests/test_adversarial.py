@@ -95,8 +95,11 @@ def test_junk_rows_all_get_status(spark):
 # diverge by design; the spec parity claim is over stable documents (the
 # synthetic corpus test covers the realistic-markup side).
 
-_BLOCKISH = "div article section nav footer h1 noscript svg script style".split()
+_BLOCKISH = "div article section nav footer h1 noscript svg".split()
 _INLINE = "span b i a strong em".split()
+# Rawtext elements take no child MARKUP: an inner </script> would terminate
+# them early and strand stray close tags (tag-soup, out of scope here).
+_RAWTEXT = "script style".split()
 _words = st.text(
     alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"),
                            whitelist_characters=" "),
@@ -111,9 +114,12 @@ def _well_formed(draw, depth=0, inline_only=False):
         if inline_only:
             tag = draw(st.sampled_from(_INLINE))
         else:
-            tag = draw(st.sampled_from(_BLOCKISH + _INLINE + ["p"]))
-        inner = draw(_well_formed(depth + 1,
-                                  inline_only=inline_only or tag == "p"))
+            tag = draw(st.sampled_from(_BLOCKISH + _INLINE + _RAWTEXT + ["p"]))
+        if tag in _RAWTEXT:
+            inner = draw(_words)
+        else:
+            inner = draw(_well_formed(depth + 1,
+                                      inline_only=inline_only or tag == "p"))
         parts.append(f"<{tag}>{inner}</{tag}>")
         parts.append(draw(_words))
     return "".join(parts)
