@@ -168,12 +168,16 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     a surviving pair is then computed exactly over the FULL shingle sets
     (array_intersect) — counting the intersection over rare shingles alone
     would systematically underestimate boilerplate-heavy duplicates."""
+    from pyspark.sql import Window
+
     shs = docs.select(F.col(id_col).alias("doc_id"),
                       char_shingles(text_col).alias("shs"))
     sh = shs.select("doc_id", F.explode("shs").alias("sh"))
-    rare = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("df")) \
-             .where(F.col("df") <= max_df).select("sh")
-    sh_r = sh.join(F.broadcast(rare), "sh")
+    # Document frequency as a window count over the shingle key: one
+    # shuffle on `sh` that the self-join below re-uses, instead of a
+    # separate aggregate + broadcast of the rare-shingle set.
+    sh_r = (sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+            .where(F.col("df") <= max_df).drop("df"))
     a = sh_r.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh_r.select(F.col("doc_id").alias("doc_b"), "sh")
     cand = (
