@@ -232,6 +232,13 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", "rank"))
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return (vecops.ivf_topk(q, emb, k=5)
+            .select("query_id", "neighbor_id", "rank"))
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column → Pandas-UDF byte features.
     Payloads are md5-hex fakes derived from doc_id, so the SQL oracle can
@@ -266,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_lsh_topk": _q_ann_lsh_topk,  # approximate by design → rows-only
+        "ann_ivf_topk": _q_ann_ivf_topk,  # approximate by design → rows-only
         "token_stats": _q_token_stats,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "langid": _q_langid,

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["dot", "l2_norm", "cosine", "dot_unrolled", "l2_norm_unrolled",
-           "brute_force_topk", "lsh_bucket",
+           "brute_force_topk", "lsh_bucket", "ivf_topk",
            "near_dup_pairs", "lsh_bucketed_topk"]
 
 
@@ -178,6 +178,56 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 F.round(dot(F.col("q_vec"), F.col("c_vec"))
                         / (F.col("q_norm") * F.col("c_norm")), 6)
                 .alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style approximate NN: coarse-quantize the corpus into cells
+    (nearest of ``n_cells`` deterministic centroid vectors), probe only the
+    ``n_probe`` nearest cells per query, exact-cosine rank within them.
+
+    The classic inverted-file shape (Jégou et al., PAMI 2011 — public
+    method): the cell id is a join KEY, so at crawl scale the search is a
+    shuffle-on-key equi-join over ~n_probe/n_cells of the corpus instead
+    of a cross product. Centroids here are the first ``n_cells`` corpus
+    vectors (deterministic; swap in k-means outputs in production —
+    the plan shape is identical). Recall < 1.0 by construction, so the
+    driver records rows-only for this query (like the LSH variant)."""
+    cents = corpus.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
+
+    def _assign(df: DataFrame, out_id: str, vec_out: str, top: int) -> DataFrame:
+        scored = (df.select(F.col(id_col).alias(out_id),
+                            F.col(vec_col).alias(vec_out),
+                            l2_norm(F.col(vec_col)).alias(f"{out_id}_norm"))
+                  .crossJoin(F.broadcast(cents))
+                  .select(out_id, vec_out, f"{out_id}_norm", "cell",
+                          F.round(cosine(F.col(vec_out),
+                                         F.col("cent_vec")), 6)
+                          .alias("cell_sim")))
+        w = Window.partitionBy(out_id).orderBy(
+            F.desc("cell_sim"), F.asc("cell"))
+        return (scored.withColumn("crank", F.row_number().over(w))
+                .where(F.col("crank") <= top)
+                .drop("crank", "cell_sim"))
+
+    c = _assign(corpus, "neighbor_id", "c_vec", 1)       # one cell per vector
+    q = _assign(queries, "query_id", "q_vec", n_probe)   # probe several
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                        / (F.col("query_id_norm")
+                           * F.col("neighbor_id_norm")), 6)
+                .alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))

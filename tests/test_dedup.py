@@ -95,3 +95,28 @@ def test_lsh_bucketed_topk_subset_of_exact(spark):
     exact = {(r.query_id, r.neighbor_id)
              for r in vecops.brute_force_topk(q, emb, k=60).collect()}
     assert all((r.query_id, r.neighbor_id) in exact for r in approx)
+
+
+def test_ivf_topk_probes_cells_and_ranks(spark):
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+               .select("vec_id",
+                       F.col("embedding").cast("array<float>").alias("embedding"))
+    q = emb.where(F.col("vec_id").isin(40, 41))
+    approx = vecops.ivf_topk(q, emb, k=5, n_cells=8, n_probe=3).collect()
+    assert approx, "IVF returned no neighbors"
+    assert all(1 <= r.rank <= 5 for r in approx)
+    assert all(r.neighbor_id != r.query_id for r in approx)
+    # ranks are dense per query starting at 1
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # every returned pair exists in the exact ranking (IVF cosines are
+    # exact; only the candidate set is approximate)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in vecops.brute_force_topk(q, emb, k=80).collect()}
+    assert all((r.query_id, r.neighbor_id) in exact for r in approx)
