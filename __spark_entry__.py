@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from html_parser_spark.functions import dedup, mediaops, textops, vecops
 from html_parser_spark.job import pipeline as P
 from html_parser_spark.sources.media import media_from_documents
+from html_parser_spark.sources.synth import PROFILES as _SYNTH_PROFILES
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -64,10 +65,25 @@ def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = P.synthesize_pages(spark, _n_pages(sf_dir))
+    """Per-(profile, status) doc counts from the extraction side table.
+
+    Oracle-able: the synthetic corpus assigns profile/status as a pure
+    function of the page index (sources/synth.py:90 profile_for — idx%50==48
+    → pdf, ==49 → blocked page landing as (NULL, no_rule), else round-robin
+    over the 13 carrier profiles), so the counts are SQL-computable from a
+    generated index range. The parse-dependent ``nodes`` total stays in
+    :func:`metrics_from_extracted` for the pipeline but is not selected here
+    (no SQL twin exists for DOM size).
+
+    The corpus size is derived from the documents table (4 rows per doc,
+    clamped to [200, 20000]) rather than the sf dir name so the DuckDB twin
+    can compute the identical n from the same parquet."""
+    docs = _t(spark, sf_dir, "documents")
+    n = max(200, min(docs.count() * 4, 20000))
+    pages = P.synthesize_pages(spark, n)
     ext = P.extract_pages(pages)
     return (P.metrics_from_extracted(ext)
-            .select("profile", "status", "n_docs", "nodes"))
+            .select("profile", "status", "n_docs"))
 
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,7 +272,8 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # extraction engine (non-SQL; rows-only check)
+        # extraction engine (HTML parse itself is non-SQL → rows-only, but
+        # the metrics side table mirrors the deterministic corpus → oracled)
         "extract_pages": _q_extract_pages,
         "extract_metrics": _q_extract_metrics,
         # relational skeleton (SURVEY.md §2.6)
@@ -310,9 +327,33 @@ _SIMHASH_BITS = " + ".join(
 _PAIR_COSINE = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
                 "CAST(b.embedding AS DOUBLE[]))")
 
+# The synth corpus' profile round-robin, shared verbatim with the generator
+# (sources/synth.py:49) so the extract_metrics oracle mirrors profile_for.
+_PROFILE_ARRAY = "[" + ", ".join(f"'{p}'" for p in _SYNTH_PROFILES) + "]"
+
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_metrics": f"""
+            -- The pages corpus is a pure function of the row index (seed 42):
+            -- idx%50==48 → pdf payload (extracts ok), idx%50==49 → blocked
+            -- page (no carrier matches → NULL profile, status no_rule), else
+            -- profile round-robin. n_pages = 4 × documents rows at every sf
+            -- dir (clamped exactly like __spark_entry__._n_pages).
+            WITH n AS (SELECT GREATEST(200, LEAST(COUNT(*) * 4, 20000))
+                           AS n_pages FROM documents),
+            idx AS (SELECT UNNEST(range(0, n_pages)) AS i FROM n),
+            assigned AS (
+              SELECT CASE WHEN i % 50 = 48 THEN 'pdf'
+                          WHEN i % 50 = 49 THEN NULL
+                          ELSE ({_PROFILE_ARRAY})[CAST(i % 13 AS INT) + 1]
+                     END AS profile,
+                     CASE WHEN i % 50 = 49 THEN 'no_rule' ELSE 'ok'
+                     END AS status
+              FROM idx)
+            SELECT profile, status, COUNT(*) AS n_docs
+            FROM assigned GROUP BY profile, status
+        """,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -358,7 +399,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   -- DuckDB SUM(INT) is HUGEINT (→ float64 in pandas); cast
+                   -- back to BIGINT so the value repr matches Spark's int64.
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                        AS BIGINT) AS sum_k,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
         """,

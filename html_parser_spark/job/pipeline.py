@@ -6,7 +6,7 @@ Dataflow::
       → column pruning (url, warc_ts, html, lang)       [Catalyst]
       → repartition on pmod(xxhash64(url), P)           [the ONE shuffle;
          host-salted variant for skewed hosts]
-      → mapInPandas(extract_batch)                      [Arrow-batched UDF:
+      → mapInArrow(extract_batch_arrow)                 [Arrow-batched UDF:
          tokenizer → carrier dispatch → rules → envelope; TEXT-SPEC text;
          BOILER-SPEC main_text; PDF branch]
       → extracted table + metrics side table            [snapshot manifest,
@@ -220,7 +220,7 @@ def extract_batch_arrow(batches: "Iterator[pa.RecordBatch]"):
 def extract_pages(pages: DataFrame, partitions: Optional[int] = None,
                   salt: int = 16, repartition: bool = False,
                   host_salted: bool = False) -> DataFrame:
-    """Prune → (optional url-hash/host-salt repartition) → mapInPandas.
+    """Prune → (optional url-hash/host-salt repartition) → mapInArrow.
 
     **Map-only by default.** Extraction is embarrassingly parallel, so the
     scale-correct plan has NO shuffle: at 100 TB a repartition would move

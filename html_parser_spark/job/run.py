@@ -1,8 +1,8 @@
 """spark-submit entry point for the extraction job (north_rule deployment).
 
-Usage (cluster):
+Usage (cluster — spark-submit takes a script path, not ``-m``):
     spark-submit --py-files html_parser_spark.zip \\
-        -m html_parser_spark.job.run -- \\
+        html_parser_spark/job/run.py \\
         --input  /warehouse/pages          \\
         --output /warehouse/extracted      \\
         --resume                           \\
@@ -51,7 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    from . import pipeline as P
+    try:
+        from . import pipeline as P
+    except ImportError:
+        # spark-submit executes this file as a top-level script (no package
+        # context); the zip shipped via --py-files provides the absolute path.
+        from html_parser_spark.job import pipeline as P
 
     spark = P.build_session(app="html-parser-extract", cores=args.cores)
     try:
