@@ -289,8 +289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
-        "ann_lsh_topk": _q_ann_lsh_topk,  # approximate by design → rows-only
-        "ann_ivf_topk": _q_ann_ivf_topk,  # approximate by design → rows-only
+        # Both ANN paths are approximate in RECALL but fully deterministic,
+        # so each has an exact DuckDB twin; recall bounds live in pytest.
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "token_stats": _q_token_stats,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "langid": _q_langid,
@@ -330,6 +332,42 @@ _PAIR_COSINE = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
 # The synth corpus' profile round-robin, shared verbatim with the generator
 # (sources/synth.py:49) so the extract_metrics oracle mirrors profile_for.
 _PROFILE_ARRAY = "[" + ", ".join(f"'{p}'" for p in _SYNTH_PROFILES) + "]"
+
+
+def _lsh_bucket_expr(vec: str, n_bits: int = 8) -> str:
+    """DuckDB twin of vecops.lsh_bucket: hyperplane j (1-based) weights
+    component i (0-based) by cos(i*j + j); bit set iff projection >= 0."""
+    terms = []
+    for j in range(1, n_bits + 1):
+        proj = (f"list_sum(list_transform(range(0, len({vec})), "
+                f"i -> {vec}[i + 1] * cos(i * {j} + {j})))")
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << (j - 1)} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _kmeans_iter_ctes(prev: str, out: str, dim: int) -> str:
+    """One Lloyd iteration as DuckDB CTEs: assign every vector to its
+    nearest centroid (rounded cosine, tie → smaller cell) and re-estimate
+    centroids as per-dimension means rounded to 6 decimals, renumbering
+    surviving cells by ascending old id — the exact vecops.kmeans_cells
+    semantics."""
+    return f"""
+        {out}_assign AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                                DESC, c.cell) AS rn
+            FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+        {out}_dims AS (
+          SELECT cell, d, ROUND(AVG(val), 6) AS m
+          FROM (SELECT cell, UNNEST(v) AS val,
+                       UNNEST(range(1, {dim + 1})) AS d FROM {out}_assign)
+          GROUP BY cell, d),
+        {out} AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY cell) - 1 AS cell,
+                 list(m ORDER BY d) AS cv
+          FROM {out}_dims GROUP BY cell)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -536,6 +574,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 * (doc_id % 64 + 1) AS INT) AS width,
                    CAST(16 * (doc_id % 48 + 1) AS INT) AS height
             FROM documents
+        """,
+        "ann_lsh_topk": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+                 b AS (SELECT vec_id, v, {_lsh_bucket_expr('v')} AS bucket
+                       FROM e),
+                 q AS (SELECT vec_id AS query_id, v AS qv, bucket
+                       FROM b WHERE vec_id < 5),
+                 cand AS (
+                   SELECT q.query_id, c.vec_id AS neighbor_id,
+                          ROUND(list_cosine_similarity(q.qv, c.v), 6) AS sim
+                   FROM b c JOIN q ON c.bucket = q.bucket
+                   WHERE c.vec_id != q.query_id)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM cand)
+            WHERE rank <= 5
+        """,
+        "ann_ivf_topk": f"""
+            -- Exact replay of vecops.kmeans_cells (init = 16 smallest ids,
+            -- 2 Lloyd iterations, 6-decimal rounding) + the IVF probe join.
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+                 c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                            AS cell, v AS cv
+                        FROM (SELECT vec_id, v FROM e
+                              ORDER BY vec_id LIMIT 16)),
+                 {_kmeans_iter_ctes('c0', 'c1', 64)},
+                 {_kmeans_iter_ctes('c1', 'c2', 64)},
+                 nassign AS (
+                   SELECT vec_id AS neighbor_id, v, cell FROM (
+                     SELECT e.vec_id, e.v, c.cell,
+                            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ROUND(list_cosine_similarity(
+                                             e.v, c.cv), 6) DESC,
+                                         c.cell) AS rn
+                     FROM e CROSS JOIN c2 c) WHERE rn = 1),
+                 qprobe AS (
+                   SELECT query_id, v, cell FROM (
+                     SELECT e.vec_id AS query_id, e.v, c.cell,
+                            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ROUND(list_cosine_similarity(
+                                             e.v, c.cv), 6) DESC,
+                                         c.cell) AS rn
+                     FROM e CROSS JOIN c2 c
+                     WHERE e.vec_id >= 100 AND e.vec_id < 105)
+                   WHERE rn <= 4),
+                 cand AS (
+                   SELECT q.query_id, n.neighbor_id,
+                          ROUND(list_cosine_similarity(q.v, n.v), 6) AS sim
+                   FROM qprobe q JOIN nassign n USING (cell)
+                   WHERE n.neighbor_id != q.query_id)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM cand)
+            WHERE rank <= 5
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv

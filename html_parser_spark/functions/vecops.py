@@ -8,11 +8,13 @@ cross product.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["dot", "l2_norm", "cosine", "dot_unrolled", "l2_norm_unrolled",
-           "brute_force_topk", "lsh_bucket", "ivf_topk",
-           "near_dup_pairs", "lsh_bucketed_topk"]
+           "brute_force_topk", "lsh_bucket", "ivf_topk", "kmeans_cells",
+           "cell_sims", "near_dup_pairs", "lsh_bucketed_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -79,9 +81,16 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             .where(F.col("rank") <= k))
 
 
+def _n_blocks(n_rows: int, rows_per_block: int) -> int:
+    """Block count for the blocked all-pairs kernel: enough blocks that one
+    block's collect_list row stays ≤ rows_per_block vectors, floor 16 so
+    small inputs still parallelize (and sf0.1 keeps its measured shape)."""
+    return max(16, -(-n_rows // rows_per_block))
+
+
 def near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
-                   id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   rows_per_block: int = 8192) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all-pairs baseline).
 
     Cosine is rounded to 6 decimals *before* the threshold compare so the
@@ -100,8 +109,14 @@ def near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
     ~2 s (this) on the sf0.1 bench. A fully unrolled element_at sum was
     also tried and overflows codegen method limits (46 s). Values agree
     with the SQL oracle at the 6-decimal rounding both engines apply
-    before the threshold."""
-    n_blocks = 16
+    before the threshold.
+
+    The block count scales with the input (``ceil(n / rows_per_block)``,
+    floor 16) so a block row — one ``collect_list`` of its vectors — stays
+    size-bounded: ~8k × 64-dim doubles ≈ 4 MB regardless of corpus size,
+    instead of n/16 vectors in one row (an executor OOM at crawl scale).
+    The count() driving it is parquet-metadata cheap."""
+    n_blocks = _n_blocks(corpus.count(), rows_per_block)
     blocks = corpus.select(
         F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
         F.col(id_col).alias("id"),
@@ -126,7 +141,9 @@ def near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
                 S = A @ B.T
                 S /= np.linalg.norm(A, axis=1)[:, None]
                 S /= np.linalg.norm(B, axis=1)[None, :]
-                S = np.round(S, 6)
+                # Half-away-from-zero to match Spark F.round / DuckDB ROUND
+                # on exact 6th-decimal ties (np.round is half-even).
+                S = np.copysign(np.floor(np.abs(S) * 1e6 + 0.5) / 1e6, S)
                 if blk_a == blk_b:
                     # same id set both sides: strict upper triangle emits
                     # each unordered pair once
@@ -185,49 +202,112 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             .where(F.col("rank") <= k))
 
 
+def cell_sims(vec: Column, cents: list[list[float]]) -> Column:
+    """Array of rounded cosine similarities from ``vec`` to each centroid.
+
+    Centroids arrive as driver-side literals (a k-means result is tiny —
+    n_cells × dim doubles), so this is a pure PROJECTION: per row one
+    fold per centroid, zero Exchange. Centroid norms are precomputed in
+    Python; the 6-decimal rounding makes the values engine-portable."""
+    vnorm = l2_norm(vec)
+    sims = []
+    for c in cents:
+        cnorm = math.sqrt(math.fsum(x * x for x in c))
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        sims.append(F.round(dot(vec, carr) / (vnorm * F.lit(cnorm)), 6))
+    return F.array(*sims)
+
+
+def kmeans_cells(corpus: DataFrame, n_cells: int = 16, n_iter: int = 2,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic Lloyd k-means over cosine similarity, fully
+    DataFrame-side: assignment is a map-only projection (cell_sims +
+    argmax) and the re-estimation is ONE groupBy over ``n_cells`` keys
+    whose per-dimension means are map-side-combinable partial aggregates —
+    the corpus itself never shuffles and never reaches the driver; only
+    the n_cells × dim centroid matrix does.
+
+    Determinism: init = the ``n_cells`` rows with smallest ids
+    (order-independent), means rounded to 6 decimals each iteration,
+    assignment ties broken toward the smaller cell id — reproducible
+    across engines, so a SQL twin can replay the exact same iterations.
+    Empty cells drop out and the survivors are renumbered by ascending
+    old id (ROW_NUMBER order in the SQL twin)."""
+    init = (corpus.orderBy(F.col(id_col)).limit(n_cells)
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .collect())
+    cents = [list(r.v) for r in init]
+    if not cents:
+        return []
+    dim = len(cents[0])
+    for _ in range(n_iter):
+        v = F.col(vec_col).cast("array<double>")
+        assigned = (corpus
+                    .select(v.alias("v"), cell_sims(v, cents).alias("sims"))
+                    .select("v", (F.array_position("sims",
+                                                   F.array_max("sims")) - 1)
+                            .alias("cell")))
+        rows = (assigned.groupBy("cell")
+                .agg(*[F.round(F.avg(F.element_at(F.col("v"), d + 1)), 6)
+                       .alias(f"c{d}") for d in range(dim)])
+                .collect())
+        by_cell = {int(r["cell"]): [float(r[f"c{d}"]) for d in range(dim)]
+                   for r in rows}
+        cents = [by_cell[c] for c in sorted(by_cell)]
+    return cents
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
-             n_cells: int = 16, n_probe: int = 4,
+             n_cells: int = 16, n_probe: int = 4, n_iter: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF-style approximate NN: coarse-quantize the corpus into cells
-    (nearest of ``n_cells`` deterministic centroid vectors), probe only the
-    ``n_probe`` nearest cells per query, exact-cosine rank within them.
+    """IVF approximate NN: coarse-quantize the corpus into k-means cells,
+    probe only the ``n_probe`` nearest cells per query, exact-cosine rank
+    within them.
 
     The classic inverted-file shape (Jégou et al., PAMI 2011 — public
-    method): the cell id is a join KEY, so at crawl scale the search is a
-    shuffle-on-key equi-join over ~n_probe/n_cells of the corpus instead
-    of a cross product. Centroids here are the first ``n_cells`` corpus
-    vectors (deterministic; swap in k-means outputs in production —
-    the plan shape is identical). Recall < 1.0 by construction, so the
-    driver records rows-only for this query (like the LSH variant)."""
-    cents = corpus.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
+    method): the cell id is a join KEY, so at crawl scale the search is an
+    equi-join over ~n_probe/n_cells of the corpus instead of a cross
+    product. Cell ASSIGNMENT is map-only — an in-projection argmax over
+    the broadcast centroid sims (no crossJoin row blow-up, no window
+    shuffle; the corpus never shuffles at all since the tiny probe side is
+    broadcast). Fully deterministic (see kmeans_cells), so the driver
+    checks this query against an exact DuckDB twin; the *recall* (<1.0 by
+    construction) is a pytest concern (test_dedup.py)."""
+    cents = kmeans_cells(corpus, n_cells=n_cells, n_iter=n_iter,
+                         id_col=id_col, vec_col=vec_col)
+    n_found = len(cents)
 
-    def _assign(df: DataFrame, out_id: str, vec_out: str, top: int) -> DataFrame:
-        scored = (df.select(F.col(id_col).alias(out_id),
-                            F.col(vec_col).alias(vec_out),
-                            l2_norm(F.col(vec_col)).alias(f"{out_id}_norm"))
-                  .crossJoin(F.broadcast(cents))
-                  .select(out_id, vec_out, f"{out_id}_norm", "cell",
-                          F.round(cosine(F.col(vec_out),
-                                         F.col("cent_vec")), 6)
-                          .alias("cell_sim")))
-        w = Window.partitionBy(out_id).orderBy(
-            F.desc("cell_sim"), F.asc("cell"))
-        return (scored.withColumn("crank", F.row_number().over(w))
-                .where(F.col("crank") <= top)
-                .drop("crank", "cell_sim"))
+    cv = F.col(vec_col).cast("array<double>")
+    # Two chained projections (sims once, argmax over the aliased column)
+    # so the 16-fold sims array is evaluated once per row.
+    c = (corpus.select(
+            F.col(id_col).alias("neighbor_id"), cv.alias("c_vec"),
+            l2_norm(cv).alias("c_norm"), cell_sims(cv, cents).alias("sims"))
+         .select("neighbor_id", "c_vec", "c_norm",
+                 (F.array_position("sims", F.array_max("sims")) - 1)
+                 .alias("cell")))
 
-    c = _assign(corpus, "neighbor_id", "c_vec", 1)       # one cell per vector
-    q = _assign(queries, "query_id", "q_vec", n_probe)   # probe several
+    # Query side: rank cells by (sim desc, cell asc) via a struct sort and
+    # explode the first n_probe — still a projection (queries are few).
+    sims = cell_sims(cv, cents)
+    idxs = F.sequence(F.lit(0), F.lit(n_found - 1))
+    ranked = F.array_sort(F.zip_with(
+        sims, idxs,
+        lambda s, i: F.struct((-s).alias("neg_sim"), i.alias("cell"))))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), cv.alias("q_vec"),
+        l2_norm(cv).alias("q_norm"),
+        F.explode(F.transform(F.slice(ranked, 1, min(n_probe, n_found)),
+                              lambda st: st.cell)).alias("cell"))
+
     scored = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
                 F.round(dot(F.col("q_vec"), F.col("c_vec"))
-                        / (F.col("query_id_norm")
-                           * F.col("neighbor_id_norm")), 6)
+                        / (F.col("q_norm") * F.col("c_norm")), 6)
                 .alias("cos_sim"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -51,6 +51,36 @@ def test_extraction_scan_prunes_to_needed_columns(spark, tmp_path):
     assert "text" not in cols and "html" in cols, cols
 
 
+def test_ivf_corpus_assignment_is_map_only(spark):
+    """IVF cell assignment must be a projection (in-row argmax over
+    broadcast centroid sims) — no crossJoin blow-up, no window shuffle
+    (VERDICT r1 task 4)."""
+    from html_parser_spark.functions import vecops
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = vecops.kmeans_cells(emb, n_cells=4, n_iter=1)
+    v = F.col("embedding").cast("array<double>")
+    assigned = (emb.select("vec_id", vecops.cell_sims(v, cents).alias("sims"))
+                .select("vec_id",
+                        (F.array_position("sims", F.array_max("sims")) - 1)
+                        .alias("cell")))
+    plan = A.formatted_plan(assigned)
+    assert "Exchange" not in plan, plan
+
+
+def test_ivf_topk_corpus_never_shuffles(spark):
+    """Full IVF plan: the only hash Exchange is the per-query rank window
+    over the (tiny) candidate set; the corpus side reaches the broadcast
+    join shuffle-free."""
+    from html_parser_spark.functions import vecops
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    df = vecops.ivf_topk(q, emb, k=5)
+    plan = A.formatted_plan(df)
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 1, plan
+    assert A.has_broadcast_join(df), plan
+
+
 def test_host_salted_variant_has_single_exchange(spark):
     pages = P.synthesize_pages(spark, 10)
     ext = P.extract_pages(pages, host_salted=True)
