@@ -47,7 +47,9 @@ class SimpleSelector:
         self.tag = tag
         self.id = id_
         self.classes = classes  # tuple[str]
-        self.attrs = attrs      # tuple[(name, value-or-None)]
+        self.attrs = attrs      # tuple[(name, value-or-None, op)]; op in
+        #   {"=", "*="} — "*=" is substring containment, the CSS twin of
+        #   XPath contains(@attr, v) (bestbuy/parse_bestbuy_detai.py:60-66).
 
     def matches(self, dom: FlatDOM, i: int) -> bool:
         if self.tag is not None and dom.tags[i] != self.tag:
@@ -64,11 +66,16 @@ class SimpleSelector:
             for c in self.classes:
                 if c not in have:
                     return False
-        for name, val in self.attrs:
+        for name, val, op in self.attrs:
             if not a or name not in a:
                 return False
-            if val is not None and a[name] != val:
-                return False
+            if val is not None:
+                have_v = a[name] or ""
+                if op == "*=":
+                    if val not in have_v:
+                        return False
+                elif have_v != val:
+                    return False
         return True
 
 
@@ -101,13 +108,41 @@ def _parse_simple(token: str) -> SimpleSelector:
             body = pm.group(3)
             if "=" in body:
                 name, _, val = body.partition("=")
+                op = "="
+                if name.endswith("*"):
+                    name, op = name[:-1], "*="
                 val = val.strip()
                 if len(val) >= 2 and val[0] in "\"'" and val[-1] == val[0]:
                     val = val[1:-1]
-                attrs.append((name.strip().lower(), val))
+                attrs.append((name.strip().lower(), val, op))
             else:
-                attrs.append((body.strip().lower(), None))
+                attrs.append((body.strip().lower(), None, "="))
     return SimpleSelector(tag, id_, tuple(classes), tuple(attrs))
+
+
+def _split_tokens(branch: str) -> list[str]:
+    """Whitespace/'>' tokenization that never splits inside ``[...]`` —
+    attribute values may contain spaces (bestbuy's exact-class XPath
+    ``@class="priceView-hero-price priceView-customer-price"``)."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in branch:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if depth == 0 and (ch.isspace() or ch == ">"):
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            if ch == ">":
+                out.append(">")
+            continue
+        buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
 
 
 @lru_cache(maxsize=1024)
@@ -117,9 +152,7 @@ def compile_selector(selector: str) -> CompiledSelector:
         branch = branch.strip()
         if not branch:
             continue
-        # Normalize '>' spacing, then split into tokens + combinators.
-        branch = re.sub(r"\s*>\s*", " > ", branch)
-        raw = branch.split()
+        raw = _split_tokens(branch)
         chain: list[tuple] = []
         comb = " "
         pending_comb = " "

@@ -171,6 +171,18 @@ class FlatDOM:
                 stack.extend(reversed(self.children(n)))
         return "".join(out)
 
+    def child_texts(self, i: int) -> list[str]:
+        """Direct text-node children of i — lxml's ``node/text()`` list
+        (each entry one contiguous text run, whitespace preserved)."""
+        return [self.texts[k] or "" for k in self.children(i)
+                if self.tags[k] == TEXT]
+
+    def descendant_texts(self, i: int) -> list[str]:
+        """All text nodes in the subtree of i, document order — lxml's
+        ``node//text()`` list."""
+        return [self.texts[n] or "" for n in self.iter_descendants(i)
+                if self.tags[n] == TEXT]
+
     def iter_descendants(self, i: int):
         """Yield node ids strictly inside the subtree rooted at i, in doc order."""
         n = len(self.tags)

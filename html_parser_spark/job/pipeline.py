@@ -143,6 +143,10 @@ def _extract_one(url: str, html_bytes: Optional[bytes]) -> dict:
         if env is None:
             out["status"] = "no_rule"
         else:
+            degraded = env.pop("_degraded", None)
+            if degraded:
+                out["status"] = "degraded"
+                out["error"] = degraded
             out["envelope"] = json.dumps(env, ensure_ascii=False, default=str)
             detail = env.get("detail") or {}
             out["name"] = detail.get("name")

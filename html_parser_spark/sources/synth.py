@@ -166,6 +166,11 @@ def url_for(idx: int) -> str:
     if profile == "error":
         return f"https://blocked.example.com/item/{idx}"
     slug = f"item-{100000 + idx}"
+    if profile == "escaped-component-detail":
+        # bestbuy URL shape: the reference derives product_id from the
+        # requested url via r"\/(\d+).p" (parse_bestbuy_detai.py:56).
+        return (f"https://www.{site}.example.com/site/{slug}/"
+                f"{100000 + idx}.p?skuId={100000 + idx}")
     return f"https://www.{site}.example.com/{_CATS[idx % len(_CATS)].lower()}/{slug}/{100000 + idx}"
 
 
@@ -419,12 +424,18 @@ def _render_redux_detail(p: dict, url: str) -> str:
                 ],
             },
             "variantSummary": _redux_variant_summary(p),
+            # Messages ride the product entry (parse_samsclub.py:222).
+            "messages": [
+                {"key": "sidesheet.shipping.upsell.message",
+                 "value": "Free shipping over $35"},
+                {"key": "channelbanner.pickup.message",
+                 "value": "Pickup available"},
+            ],
         }}},
-        "productImages": {p["product_id"]: {"images": [{"ImageUrl": u} for u in p["images"]]}},
-        "messages": [
-            {"key": "sidesheet.shipping.upsell.message", "value": "Free shipping over $35"},
-            {"key": "channelbanner.pickup.message", "value": "Pickup available"},
-        ],
+        # Real pages key productImages "prod…-000…" (not the productId) —
+        # the parser takes the FIRST value (parse_samsclub.py:220-221).
+        "productImages": {f"prod{pid}-000{pid % 1000}":
+                          {"images": [{"ImageUrl": u} for u in p["images"]]}},
     }
     return (
         _chrome_head(p["name"],
@@ -661,11 +672,18 @@ def _render_pixels_detail(p: dict, url: str) -> str:
 
 def _render_escaped_component_detail(p: dict, url: str) -> str:
     # bestbuy/parse_bestbuy_detai.py: double-escaped component JSON (:22-28),
-    # XPath DOM fields (:33-86), shop-specifications (:125-136),
-    # breadcrumbs (:75-83), Add to Cart in_stock (:70-71), dedup images (:46).
-    comp = {"app": {"upc": f"0{p['product_id']}8", "sku": p["product_id"],
+    # XPath DOM fields (:33-86, exact-class + contains-class selectors),
+    # shop-specifications (:125-136), data-track breadcrumbs (:73-83),
+    # fulfillment Add to Cart in_stock (:70-71), draggable imgs + dedup (:45-46),
+    # UPC from the initial_data carve (:140-152).
+    comp = {"app": {"sku": p["product_id"],
                     "productPrice": {"currentPrice": p["price"],
-                                     "regularPrice": p["list_price"]}}}
+                                     "regularPrice": p["list_price"]}},
+            "specifications": {"categories": [{
+                "displayName": "General",
+                "specifications": [
+                    {"displayName": "UPC", "value": f"0{p['product_id']}8"}],
+            }]}}
     escaped = json.dumps(json.dumps(comp))[1:-1]  # double-escaped payload
     shop_specs = {"specifications": {"categories": [{
         "displayName": "General",
@@ -673,26 +691,30 @@ def _render_escaped_component_detail(p: dict, url: str) -> str:
                            for s in p["specifications"]],
     }]}}
     crumbs = "".join(
-        f'<li class="crumb"><a href="/c/{c.lower()}">{c}</a></li>'
+        f'<a data-track="Breadcrumb" href="/c/{c.lower()}">{c}</a>'
         for c in ["Best Buyer"] + p["categories"]
     )
     # Duplicate first image twice: exercises order-preserving dedup (R8).
     img_srcs = [p["images"][0]] + p["images"]
     imgs = "".join(
-        f'<img class="gallery-image" src="{u};maxHeight=200;maxWidth=200">'
+        f'<img draggable="false" src="{u};maxHeight=200;maxWidth=200">'
         for u in img_srcs
     )
-    button = ('<button class="add-to-cart-button">Add to Cart</button>'
+    button = ('<div class="fulfillment-add-to-cart-button">'
+              '<button>Add to Cart</button></div>'
               if p["in_stock"] else
-              '<button class="sold-out">Sold Out</button>')
+              '<div class="fulfillment-add-to-cart-button">'
+              '<button>Sold Out</button></div>')
     rating_html = (
-        f'<div class="ugc-ratings"><p class="visually-hidden">'
-        f'Rating {p["rating"]:.1f} out of 5 stars with {p["total_reviews"]} reviews'
-        "</p></div>"
+        '<div class="ugc-ratings-reviews inline">'
+        f'<span class="ugc-c-review-average">{p["rating"]:.1f}</span>'
+        f'<span class="c-reviews order-2">({p["total_reviews"]:,} Reviews)</span>'
+        "</div>"
     )
     inline = (
         'window.initializer = {};'
-        f'initializer.initializeComponent({{"data": "{escaped}"}});'
+        f'initializer.initializeComponent({{"data": "{escaped}", '
+        f'"context": "pdp"}});'
     )
     # Second script: componentData carve (bestbuy:93-122) — one '{' before
     # the escaped payload so "find 2nd '{'" lands on the payload start.
@@ -728,12 +750,17 @@ def _render_escaped_component_detail(p: dict, url: str) -> str:
         f'initializer.getInitializer("componentData", "{comp2_escaped}");'
     )
     return (
-        _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
-        + f'<ol class="breadcrumb-list">{crumbs}</ol>'
+        _chrome_head(p["name"],
+                     f'<meta property="og:url" content="{url}">')
+        + f'<nav class="c-breadcrumbs">{crumbs}</nav>'
         + '<main><article class="product-main">'
         + f'<div class="sku-title"><h1>{p["name"]}</h1></div>'
-        + f'<div class="product-brand"><a>{p["brand"]}</a></div>'
-        + f'<div class="priceView-customer-price"><span>${p["price"]:,.2f}</span></div>'
+        + f'<div class="shop-product-title"><span>'
+          f'<a href="/brands/{p["brand"].lower()}">{p["brand"]}</a></span></div>'
+        + '<div class="pricing-price"><div class="priceView-hero-price '
+          'priceView-customer-price">'
+          f'<span>${p["price"]:,.2f}</span><span class="sr-only">price</span>'
+          "</div></div>"
         + rating_html + button
         + f'<div class="long-description">{p["description"]}</div>'
         + imgs
@@ -1593,24 +1620,40 @@ def golden_envelope(idx: int) -> Optional[dict]:
         detail["country_of_origin"] = "US"
     elif profile == "escaped-component-detail":
         pid = int(p["product_id"])
-        detail["upc"] = f"0{p['product_id']}8"
-        detail["sku"] = p["product_id"]
-        # breadcrumbs minus site root, name/url zipped (R11/R12)
-        detail["categories"] = [
-            {"name": c, "url": f"/c/{c.lower()}"} for c in p["categories"]]
-        detail["variants"] = None
-        detail["rating"] = float(f"{p['rating']:.1f}")
-        detail["total_ratings"] = None
-        detail["description"] = p["description"] + " Extra details."
-        detail["included_items"] = (
-            [f"Unit {pid % 4}", "Manual"] if pid % 2 == 0 else [])
-        detail["product_features"] = [
-            {"name": f"Feature {k}", "value": feat}
-            for k, feat in enumerate(p["features"])]
-        detail["model_no"] = f"BB-{pid}"
-        # component rendered iff pid%3==0; certified flag pid%6==0 —
-        # pid%6==0 implies both, so the expectation collapses to it
-        detail["is_energy_star_certified"] = pid % 6 == 0
+        # Field set mirrors the reference's committed golden exactly
+        # (bestbuy/bestbuy_detail.json keys, in parser insertion order)
+        # plus upc from the initial_data carve (parse_bestbuy_detai.py:140).
+        detail = {
+            "name": p["name"],
+            "brand": p["brand"],
+            "url": url,
+            "images": list(p["images"]),
+            "price": p["price"],
+            "currency": "USD",
+            "currency_symbol": "$",
+            "product_id": p["product_id"],
+            "rating": float(f"{p['rating']:.1f}"),
+            "total_reviews": p["total_reviews"],
+            "in_stock": p["in_stock"],
+            # breadcrumbs minus site-root crumb, //text() zip //@href
+            "categories": [
+                {"name": c, "url": f"/c/{c.lower()}"}
+                for c in p["categories"]],
+            "description": p["description"] + " Extra details.",
+            "included_items": (
+                [f"Unit {pid % 4}", "Manual"] if pid % 2 == 0 else []),
+            "product_features": [
+                {"name": f"Feature {k}", "value": feat}
+                for k, feat in enumerate(p["features"])],
+            # component rendered iff pid%3==0; certified flag pid%6==0 —
+            # pid%6==0 implies both, so the expectation collapses to it
+            "is_energy_star_certified": pid % 6 == 0,
+            "model_no": f"BB-{pid}",
+            "specifications": [
+                {"type": "General", "name": s["name"], "value": s["value"]}
+                for s in p["specifications"]],
+            "upc": f"0{p['product_id']}8",
+        }
     elif profile == "webpack-detail":
         pid = int(p["product_id"])
         detail["sku"] = f"W{p['product_id']}"

@@ -1,0 +1,124 @@
+"""Parity against the reference's OWN saved pages and committed goldens —
+not synthetic analogs (VERDICT r1 task 2).
+
+The strongest correctness evidence available: the engine must reproduce
+the reference's committed golden JSON on the reference's real fixture page
+(field-exact for every JSON-carried field), degrade gracefully on its
+bot-challenge error fixtures, and extract real data from its samsclub
+snapshots. Fixtures live read-only under /root/reference/.
+
+``remaining_credits`` is exempt everywhere: it is the scraping account's
+runtime balance (bestbuy_detail.json carries 6066207.5), not page content.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from html_parser_spark.job.pipeline import _extract_one
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference fixtures not mounted")
+
+
+def _run(path: str, url: str) -> dict:
+    with open(path, "rb") as f:
+        return _extract_one(url, f.read())
+
+
+# -- bestbuy: real page ↔ committed golden, field-exact ----------------------
+
+BB_HTML = f"{REF}/bestbuy/bestbuy_detail_2025-02-27_16-05-10.html"
+BB_GOLD = f"{REF}/bestbuy/bestbuy_detail.json"
+
+
+def test_bestbuy_real_page_matches_committed_golden():
+    gold = json.load(open(BB_GOLD))
+    out = _run(BB_HTML, gold["url"])
+    assert out["status"] == "ok" and out["error"] is None
+    assert out["profile"] == "escaped-component-detail"
+    env = json.loads(out["envelope"])
+    for k in ("success", "url", "result_count"):
+        assert env[k] == gold[k], k
+    d, gd = env["detail"], gold["detail"]
+    for k in gd:  # every golden field, exact — incl. price, ids, variants,
+        # specs, the double-space in the name, and category urls
+        assert d.get(k) == gd[k], (k, d.get(k), gd[k])
+
+
+def test_bestbuy_golden_covers_all_fields():
+    """The comparison above is only meaningful if the golden actually pins
+    the JSON-carried fields — guard against a silently-shrunk golden."""
+    gd = json.load(open(BB_GOLD))["detail"]
+    assert {"name", "brand", "price", "product_id", "rating",
+            "total_reviews", "images", "categories", "description",
+            "product_features", "model_no", "specifications"} <= set(gd)
+
+
+# -- walmart: bot-challenge error fixtures must degrade, never fail ----------
+
+@pytest.mark.parametrize("name", ["walmart_detail_error_1",
+                                  "walmart_detail_error_2"])
+def test_walmart_error_fixture_lands_degraded(name):
+    """These two pages crash the reference (walmart-2:56 does
+    ``json_data_list[0].get(...)`` on a list-shaped ld+json blob). Our twin
+    must surface them as a DEGRADED row — data still extracted from
+    __NEXT_DATA__, job never fails (north_rule)."""
+    out = _run(f"{REF}/walmart/{name}.html", "https://www.walmart.com/ip/x/1")
+    assert out["status"] == "degraded"
+    assert out["profile"] == "nextdata-detail"
+    assert "ld+json" in out["error"]
+    env = json.loads(out["envelope"])  # graceful: partial data retained
+    assert env["detail"]["name"]
+
+
+# -- samsclub: real snapshots extract through the redux profile --------------
+
+SAMSCLUB_SNAPSHOTS = [
+    "samsclub_detail_2025-03-20_13-27-54.html",
+    "samsclub_detail_2025-03-20_13-31-07.html",
+    "samsclub_detail_2025-03-24_19-00-02.html",
+]
+
+
+@pytest.mark.parametrize("name", SAMSCLUB_SNAPSHOTS)
+def test_samsclub_snapshot_structure(name):
+    """Golden-structure check (no per-snapshot committed JSON exists in the
+    reference): envelope shape per parse_samsclub.py:225-232,470-472 and
+    the core JSON-carried fields present with the right types."""
+    out = _run(f"{REF}/1.samsclub/{name}", "https://www.samsclub.com/p/x/1")
+    assert out["status"] == "ok", out["error"]
+    assert out["profile"] == "redux-detail"
+    env = json.loads(out["envelope"])
+    assert list(env.keys()) == ["success", "url", "result_count", "detail",
+                                "remaining_credits"]
+    assert env["success"] is True and env["result_count"] == 1
+    d = env["detail"]
+    assert isinstance(d["name"], str) and d["name"]
+    assert isinstance(d["brand"], str) and d["brand"]
+    assert isinstance(d["price"], (int, float)) and d["price"] > 0
+    assert isinstance(d["images"], list) and d["images"]
+    assert d["sku_id"] and d["item_no"]
+    # some snapshots carry no manufacturingInfo.specification fragment
+    assert d["specifications"] is None or isinstance(d["specifications"], list)
+
+
+def test_all_samsclub_snapshots_extract_without_failure():
+    """Every one of the reference's 17 snapshots must produce a status row
+    (ok or degraded — never a crash)."""
+    snaps = [f for f in os.listdir(f"{REF}/1.samsclub")
+             if f.startswith("samsclub_detail_") and f.endswith(".html")]
+    assert len(snaps) >= 15
+    statuses = {}
+    for name in snaps:
+        out = _run(f"{REF}/1.samsclub/{name}", "https://www.samsclub.com/p/x")
+        statuses[name] = (out["profile"], out["status"])
+    assert all(p == "redux-detail" and s in ("ok", "degraded")
+               for p, s in statuses.values()), statuses
+    n_ok = sum(1 for _, s in statuses.values() if s == "ok")
+    assert n_ok >= 14, statuses
