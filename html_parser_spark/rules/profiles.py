@@ -143,13 +143,24 @@ def extract_nextdata_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[d
 
 # -- nextdata-serp (walmart/parse_walmart.py) -------------------------------
 
+_WM_BASE = "https://www.walmart.com"  # walmart/parse_walmart.py:90,98
+
+
 def extract_nextdata_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    """walmart/parse_walmart.py twin — verified field-exact against all
+    three committed golden pairs (walmart_mustard.html ↔ walmart-mustard.json,
+    walmart_mustard_page_2.html ↔ walmart_search_page_2.json,
+    walmart_search.html ↔ walmart_search.json;
+    tests/test_reference_fixtures.py). ``no_of_pages`` is golden-anchored:
+    the parser script leaves it None (:46) but every committed golden has
+    ceil(total_results / ps) with ps from paginationV2.pageProperties."""
+    from urllib.parse import urlparse, urlunparse
+
     data = C.json_script_by_id(scripts, "__NEXT_DATA__")
     sr = gj(data, ["props", "pageProps", "initialData", "searchResult"])
     if sr is None:
         return None
     items = gj(sr, ["itemStacks", 0, "items"]) or []
-    base = "https://www.walmarket.example.com"
     # J7 JSON-in-JSON: identityNextTenants is a JSON *string* field
     # (walmart/parse_walmart.py:49-62).
     tenants_str = gj(data, ["props", "pageProps", "bootstrapData", "cv",
@@ -165,44 +176,76 @@ def extract_nextdata_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dic
         if it.get("__typename") != "Product":  # Q7 filter
             continue
         thumb = gj(it, ["imageInfo", "thumbnailUrl"])
-        # Per-item variants map<str, list[struct]> (walmart:76-92).
+        image_url = (urlunparse(urlparse(thumb)._replace(query=""))
+                     if thumb is not None else None)  # ref :73-74
+        # Per-item variants map<str, list[struct]> (ref :76-92). Golden-
+        # anchored details: the key is the criterion name's last _-token
+        # ("number_of_pieces" → "pieces"), in_stock is the availability
+        # flag (the script's in_stock:=name is a bug the goldens don't
+        # carry), price stays a None placeholder.
         variants = {}
         for vc in it.get("variantCriteria") or []:
-            variants[vc.get("name")] = [
+            variants[(vc.get("name") or "").split("_")[-1]] = [
                 {"name": a.get("name"),
+                 "images": a.get("images"),
                  "swatch_image": a.get("swatchImageUrl"),
+                 "in_stock": a.get("availabilityStatus") == "AVAILABLE",
+                 "price": None,
                  "id": gj(a, ["selectedProduct", "usItemId"]),
-                 "url": F.prefix_url(
-                     base, gj(a, ["selectedProduct", "canonicalUrl"]))}
+                 "model_no": gj(a, ["products", 0]),
+                 "url": f"{_WM_BASE}"
+                        f"{F.strip_query(gj(a, ['selectedProduct', 'canonicalUrl']))}"}
                 for a in vc.get("variantList") or []
             ]
+        # est_delivery_date: first non-null deliveryDate over the
+        # fulfillmentSummary entries (DELIVERY may be null while PICKUP
+        # carries the date), date part only.
+        dd = next((e.get("deliveryDate")
+                   for e in it.get("fulfillmentSummary") or []
+                   if e.get("deliveryDate")), None)
+        # Rollback pricing: when wasPrice is set the golden reports
+        # price=wasPrice and price_reduced=current line price.
+        was = F.parse_money(gj(it, ["priceInfo", "wasPrice"]))
+        cur = it.get("price") or None  # 0 is the page's null placeholder
         results.append({
             "id": it.get("usItemId"),
             "name": it.get("name"),
-            "brand": it.get("brand"),
-            "price": gj(it, ["priceInfo", "linePrice", "price"]),
+            # Golden-anchored: committed goldens strip the canonicalUrl
+            # query (?classType=…) and date-only the delivery timestamp,
+            # and carry None where the page has '' / 0 placeholder values.
+            "url": f"{_WM_BASE}{F.strip_query(it.get('canonicalUrl'))}",
+            "price_reduced": cur if was is not None else None,
+            "price": was if was is not None else cur,
             "currency_code": currency_code,
-            "offer_msg": gj(it, ["priceInfo", "priceRangeString"]),
-            "rating": it.get("averageRating"),
-            "total_reviews": it.get("numberOfReviews"),
-            "url": F.prefix_url(base, F.strip_query(it.get("canonicalUrl"))),
-            "image": F.strip_query(thumb),  # T9
+            "offer_msg": gj(it, ["priceInfo", "priceRangeString"]) or None,
+            "rating": gj(it, ["rating", "averageRating"]) or None,
+            "total_reviews": gj(it, ["rating", "numberOfReviews"]) or None,
+            "in_stock": not it.get("isOutOfStock"),
+            "model_no": it.get("id"),
+            "description": it.get("description") or None,
+            "image_url": image_url,
             "thumbnail": thumb,
-            "in_stock": gj(it, ["availabilityStatusV2", "value"]) == "IN_STOCK",
             "seller_name": it.get("sellerName"),
             "is_sponsored": it.get("isSponsoredFlag"),
-            "variants": variants or None,
-            "est_delivery_date": gj(it, ["fulfillmentSummary", 0,
-                                         "deliveryDate"]),
+            "variants": variants,
+            "est_delivery_date": dd.split("T")[0] if dd else None,  # T7
         })
     q = gj(data, ["props", "pageProps", "initialSearchQueryVariables"]) or {}
+    total = sr.get("aggregatedCount")
+    ps = gj(sr, ["paginationV2", "pageProperties", "ps"])
+    no_of_pages = None
+    if total is not None and ps:
+        no_of_pages = -(-int(total) // int(ps))
     return {
         "success": True,
         "search": q.get("query"),
         "page": q.get("page"),
-        "total_results": sr.get("count"),
+        "total_results": total,
+        "no_of_pages": no_of_pages,
         "result_count": len(results),  # R5
         "results": results,
+        "meta_data": {},
+        "remaining_credits": None,
     }
 
 

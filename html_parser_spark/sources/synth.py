@@ -913,39 +913,55 @@ def _render_nextdata_serp(p: dict, url: str, idx: int) -> str:
             items.append({
                 "__typename": "Product",
                 "usItemId": sub["product_id"], "name": sub["name"],
-                "brand": sub["brand"],
+                "id": f"ITEM{spid}",                 # → model_no
+                "price": sub["price"],               # top-level line price
                 "priceInfo": {
-                    "linePrice": {"price": sub["price"]},
                     "priceRangeString": (f"From ${sub['price']:.2f}"
-                                         if spid % 3 == 0 else None),
+                                         if spid % 3 == 0 else ""),
+                    # rollback pricing every 4th product (wasPrice string)
+                    "wasPrice": (f"${sub['list_price']:,.2f}"
+                                 if spid % 4 == 0 else ""),
                 },
-                "averageRating": sub["rating"],
-                "numberOfReviews": sub["total_reviews"],
+                "rating": {"averageRating": sub["rating"],
+                           "numberOfReviews": sub["total_reviews"]},
+                "isOutOfStock": not sub["in_stock"],
+                "description": (f"{sub['name']} highlights"
+                                if spid % 5 else ""),
                 "canonicalUrl": f"/ip/{sub['product_id']}?athcpid=x",
                 "imageInfo": {"thumbnailUrl":
                               sub["images"][0] + "?odnHeight=180"},
-                "availabilityStatusV2": {"value": "IN_STOCK" if sub["in_stock"] else "OUT_OF_STOCK"},
                 "sellerName": f"{sub['brand']} Store",
                 "isSponsoredFlag": k % 5 == 0,
                 "variantCriteria": [{
-                    "name": "Color",
+                    "name": "shoe_size" if spid % 2 else "Color",
                     "variantList": [
                         {"name": v["value"],
+                         "images": [f"https://img.walmarket.example.com/v/{spid}/{j}.jpg"],
                          "swatchImageUrl":
                              f"https://img.walmarket.example.com/sw/{spid}/{j}.jpg",
+                         "availabilityStatus": ("AVAILABLE" if v["available"]
+                                                else "NOT_AVAILABLE"),
+                         "products": [f"MOD{spid}{j}"],
                          "selectedProduct": {
                              "usItemId": f"{spid}{j}",
-                             "canonicalUrl": f"/ip/{spid}{j}"}}
+                             "canonicalUrl": f"/ip/{spid}{j}?variant=1"}}
                         for j, v in enumerate(sub["variants"])
                     ],
                 }] if sub["variants"] else [],
+                # DELIVERY slot may be null — date rides the PICKUP entry
+                # (walmart_mustard fixtures), timestamp form (T7 split).
                 "fulfillmentSummary": [
-                    {"deliveryDate": f"2025-0{spid % 9 + 1}-10"}],
+                    {"fulfillment": "DELIVERY", "deliveryDate": None},
+                    {"fulfillment": "PICKUP",
+                     "deliveryDate":
+                         f"2025-0{spid % 9 + 1}-10T16:00:00.000Z"}],
             })
     search_term = f"{_NOUN[idx % len(_NOUN)].lower()}"
     next_data = {"props": {"pageProps": {"initialData": {"searchResult": {
         "itemStacks": [{"items": items, "count": n_items}],
-        "count": n_items * 3,
+        "aggregatedCount": n_items * 3,
+        "paginationV2": {"maxPage": 9,
+                         "pageProperties": {"ps": "4", "page": 1}},
     }}, "initialSearchQueryVariables": {"query": search_term, "page": 1},
         # J7 JSON-in-JSON: currency inside a string field
         # (walmart/parse_walmart.py:49-62).
@@ -1285,36 +1301,47 @@ def golden_envelope(idx: int) -> Optional[dict]:
     if profile == "nextdata-serp":
         slots = _nextdata_serp_slots(idx)
         n_items = len(slots)
+        base = "https://www.walmart.com"  # parse_walmart.py:90,98 constant
         results = []
         for k, sub in enumerate(slots):
             if sub is None:
                 continue
             spid = int(sub["product_id"])
-            base = "https://www.walmarket.example.com"
+            rollback = spid % 4 == 0
+            vkey = "size" if spid % 2 else "Color"  # last _-token of name
             results.append({
                 "id": sub["product_id"],
                 "name": sub["name"],
-                "brand": sub["brand"],
-                "price": sub["price"],
+                "url": f"{base}/ip/{sub['product_id']}",
+                "price_reduced": sub["price"] if rollback else None,
+                "price": (round(sub["list_price"], 2) if rollback
+                          else sub["price"]),
                 "currency_code": "USD",
                 "offer_msg": (f"From ${sub['price']:.2f}"
                               if spid % 3 == 0 else None),
                 "rating": sub["rating"],
-                "total_reviews": sub["total_reviews"],
-                "url": f"{base}/ip/{sub['product_id']}",
-                "image": sub["images"][0],
-                "thumbnail": sub["images"][0] + "?odnHeight=180",
+                "total_reviews": sub["total_reviews"] or None,
                 "in_stock": sub["in_stock"],
+                "model_no": f"ITEM{spid}",
+                "description": (f"{sub['name']} highlights"
+                                if spid % 5 else None),
+                "image_url": sub["images"][0],
+                "thumbnail": sub["images"][0] + "?odnHeight=180",
                 "seller_name": f"{sub['brand']} Store",
                 "is_sponsored": k % 5 == 0,
-                "variants": {"Color": [
+                "variants": {vkey: [
                     {"name": v["value"],
+                     "images":
+                         [f"https://img.walmarket.example.com/v/{spid}/{j}.jpg"],
                      "swatch_image":
                          f"https://img.walmarket.example.com/sw/{spid}/{j}.jpg",
+                     "in_stock": v["available"],
+                     "price": None,
                      "id": f"{spid}{j}",
+                     "model_no": f"MOD{spid}{j}",
                      "url": f"{base}/ip/{spid}{j}"}
                     for j, v in enumerate(sub["variants"])
-                ]} if sub["variants"] else None,
+                ]} if sub["variants"] else {},
                 "est_delivery_date": f"2025-0{spid % 9 + 1}-10",
             })
         return {
@@ -1322,8 +1349,11 @@ def golden_envelope(idx: int) -> Optional[dict]:
             "search": _NOUN[idx % len(_NOUN)].lower(),
             "page": 1,
             "total_results": n_items * 3,
+            "no_of_pages": -(-(n_items * 3) // 4),
             "result_count": len(results),
             "results": results,
+            "meta_data": {},
+            "remaining_credits": None,
         }
 
     if profile == "webpack-serp":
