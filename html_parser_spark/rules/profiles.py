@@ -397,7 +397,7 @@ def extract_redux_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict
 
 # -- nextprops-detail (bedbathbeyond/parse_bedbathbeyond.py) ----------------
 
-_BB_IMG_PREFIX = "https://ak1.ostkcdn.example.com/images/products/"
+_BB_IMG_PREFIX = "https://ak1.ostkcdn.com/images/products/"  # ref :150
 _BB_SITE = "https://www.bedbath.example.com"
 
 
@@ -444,19 +444,26 @@ def extract_nextprops_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[
                            "attributes"]) or []
     overview = [{"name": a.get("label"), "value": a.get("values")}
                 for a in attributes]
+    # list_price: comparePrice of the defaultOptionId option (ref :68-73).
+    default_opt = prod.get("defaultOptionId")
+    list_price = None
+    for o in prod.get("options") or []:
+        if o.get("optionId") == default_opt:
+            list_price = o.get("comparePrice")
     detail = {
         "product_id": prod.get("id"),
-        "name": prod.get("title"),
+        "name": prod.get("name"),                      # ref :59
         "brand": prod.get("brandName"),
-        "price": gj(prod, ["price", "amount"]),
-        "list_price": gj(prod, ["price", "listAmount"]),
-        "currency": gj(prod, ["price", "currency"]),
+        "price": prod.get("memberPrice"),              # ref :75
+        "list_price": list_price,
+        "currency": gj(pp, ["meta", "dataLayer", "order_currency"]),  # :78
         "currency_symbol": "$",
         "rating": F.weighted_rating(hist),      # T18
         "total_ratings": sum(int(v) for v in hist.values()),  # :108
         "total_reviews": gj(pr, ["paging", "total_results"]),
         "description": description if description else None,
-        "main_image": gj(pp, ["dataLayer", "product_image_url", 0]),
+        "main_image": gj(pp, ["meta", "dataLayer",
+                              "product_image_url", 0]),  # ref :47,148
         "images": [_BB_IMG_PREFIX + (i.get("cdnPath") or "")
                    for i in prod.get("oViewerImages") or []],
         "categories": [
@@ -466,7 +473,7 @@ def extract_nextprops_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[
         "specifications": prod.get("specifications"),
         "variants": variants or None,
         "in_stock": prod.get("isInStock"),
-        "url": _canonical_url(dom, url),
+        "url": gj(prod, ["meta", "htmlUrl"]) or _canonical_url(dom, url),
         "features": features,
         "dimensions": dimensions,
         "overview": overview or None,
@@ -1081,7 +1088,12 @@ def extract_discover_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[d
         "description": None,
         "gtin": prod.get("gtin"),
         "image_url": prod.get("defaultImageUrl"),
-        "images": prod.get("images"),
+        # Real Apollo caches put a typed object here, not a url list; the
+        # reference only ever emits image_url (parse_tesco_html.py:47).
+        "images": (prod.get("images")
+                   if isinstance(prod.get("images"), list) and
+                   all(isinstance(x, str) for x in prod.get("images"))
+                   else None),
         "categories": [prod.get("superDepartmentName")]
         if prod.get("superDepartmentName") else None,
         "specifications": None,

@@ -473,9 +473,10 @@ def _render_nextprops_detail(p: dict, url: str) -> str:
     )
     next_data = {"props": {"pageProps": {
         "product": {
-            "id": p["product_id"], "title": p["name"], "brandName": p["brand"],
-            "price": {"amount": p["price"], "listAmount": p["list_price"],
-                      "currency": p["currency"]},
+            "id": p["product_id"], "name": p["name"], "brandName": p["brand"],
+            "memberPrice": p["price"],        # ref :75
+            "defaultOptionId": 1000,          # ref :68 list_price source
+            "meta": {"htmlUrl": url},         # ref :61
             "description": desc_html,
             "subcategories": [
                 {"subcategory_title": c,
@@ -512,8 +513,11 @@ def _render_nextprops_detail(p: dict, url: str) -> str:
             {"data": {"financingOfferType": "DEFERRED"},
              "html": {"messageHtml": "<b>0% APR</b> for 12 months"}}
         ] if pid % 2 == 0 else [],
-        "dataLayer": {"product_image_url": [
-            f"https://ak1.ostkcdn.example.com/images/products/bb/{pid}/0.jpg"]},
+        # dataLayer rides pageProps.meta (ref :46-47).
+        "meta": {"dataLayer": {
+            "product_image_url": [
+                f"https://ak1.ostkcdn.com/images/products/bb/{pid}/0.jpg"],
+            "order_currency": p["currency"]}},
     }}}
     return (
         _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
@@ -1540,9 +1544,11 @@ def golden_envelope(idx: int) -> Optional[dict]:
         ]
     elif profile == "nextprops-detail":
         pid = int(p["product_id"])
-        prefix = "https://ak1.ostkcdn.example.com/images/products/"
+        prefix = "https://ak1.ostkcdn.com/images/products/"  # ref :150
         site = "https://www.bedbath.example.com"
         hist = p["rating_hist"]
+        # list_price = comparePrice of defaultOptionId (=options[0])
+        detail["list_price"] = round(p["list_price"], 2)
         tot = sum(hist.values())
         wsum = sum(int(k) * v for k, v in hist.items())
         detail["rating"] = (wsum / tot) if tot else 0

@@ -134,6 +134,55 @@ def test_samsclub_snapshot_structure(name):
     assert d["specifications"] is None or isinstance(d["specifications"], list)
 
 
+# -- other real-page families: profile dispatch + core-field extraction -----
+
+def test_costco_real_pages_extract():
+    """costco_{1..4}.html → inline-js profile with real scalar carves."""
+    for i in (1, 2, 3, 4):
+        out = _run(f"{REF}/costco/costco_{i}.html",
+                   f"https://www.costco.com/x.product.{i}.html")
+        assert out["profile"] == "inline-js-detail" and out["status"] == "ok"
+        d = json.loads(out["envelope"])["detail"]
+        assert d["name"] and isinstance(d["price"], (int, float)), (i, d)
+
+
+def test_tesco_real_page_extracts():
+    out = _run(f"{REF}/prev/tesco_detail.html",
+               "https://www.tesco.com/groceries/p/1")
+    assert out["profile"] == "discover-detail" and out["status"] == "ok"
+    d = json.loads(out["envelope"])["detail"]
+    assert d["name"] == "Tetley 240 Tea Bags 750G"
+    assert d["price"] == 4.99 and d["currency"] == "GBP"
+    assert d["gtin"] and d["tpnb"] and d["tpnc"]
+    assert d["image_url"] and d["image_url"].startswith("https://")
+    assert d["images"] is None  # Apollo object is NOT a url list — never leak
+
+
+def test_bedbathbeyond_real_pages_extract():
+    for name, url in [("123.html", "https://www.bedbathandbeyond.com/p/123"),
+                      ("bedbathbeyond_detail_2024-12-18_13-40-11.html",
+                       "https://www.bedbathandbeyond.com/p/y")]:
+        out = _run(f"{REF}/bedbathbeyond/{name}", url)
+        assert out["profile"] == "nextprops-detail" and out["status"] == "ok"
+        d = json.loads(out["envelope"])["detail"]
+        assert d["name"] and isinstance(d["price"], (int, float))
+        assert d["images"] and all(
+            i.startswith("https://ak1.ostkcdn.com/images/products/")
+            for i in d["images"])  # ref :150 prefix
+        assert d["url"] and d["currency"]
+
+
+def test_mercado_real_serp_extracts():
+    out = _run(f"{REF}/prev/mercado_search.html",
+               "https://listado.mercadolibre.com.mx/x")
+    assert out["profile"] == "css-serp" and out["status"] == "ok"
+    env = json.loads(out["envelope"])
+    assert env["result_count"] == 50
+    r0 = env["results"][0]
+    assert r0["name"] and r0["price"] and r0["url"]
+    assert "currenty" in r0  # the reference's own typo key (parse_mercado.py)
+
+
 def test_all_samsclub_snapshots_extract_without_failure():
     """Every one of the reference's 17 snapshots must produce a status row
     (ok or degraded — never a crash)."""
