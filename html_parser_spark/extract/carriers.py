@@ -99,20 +99,57 @@ _WEBPACK_RE = re.compile(
 )
 
 
+def carve_balanced(text: str, start: int) -> Optional[str]:
+    """The balanced ``{...}`` object beginning at ``text[start]``,
+    respecting string literals and escapes — the robust form of the
+    reference's find('{')/rfind('}') slicing (used wherever JSON is
+    embedded mid-JavaScript and followed by more code)."""
+    if start < 0 or start >= len(text) or text[start] != "{":
+        return None
+    depth = 0
+    in_str = False
+    esc = False
+    for i in range(start, len(text)):
+        c = text[i]
+        if in_str:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return text[start:i + 1]
+    return None
+
+
 def webpack_entry_data(scripts: list) -> Any:
     """``window["WEBPACK_ENTRY_DATA"] = {...};`` assignment slice (J5).
 
     The reference picks the script positionally (``select("script")[-4]``,
-    prev/parse_wayfair.py:44-48) then splits on the marker; we re-key on the
-    marker itself (positional index is fragile — SURVEY.md §2.4 J5).
-    """
+    prev/parse_wayfair.py:44-48) then splits on the marker; we re-key on
+    the marker itself (positional index is fragile — SURVEY.md §2.4 J5).
+    Real pages carry SEVERAL assignments — guarded re-assignments and a
+    spread-merge form ``={...window[...], ...{json}}`` — so every
+    occurrence is brace-carved and the largest JSON-parsable blob wins
+    (the full entry payload; the spread deltas are strict subsets)."""
+    best = None
+    best_len = -1
     for text, _attrs in scripts:
-        m = _WEBPACK_RE.search(text)
-        if m:
-            tail = text[m.end():].strip()
-            tail = tail.rstrip("=; \t\r\n")
-            return _loads(tail)
-    return None
+        for m in _WEBPACK_RE.finditer(text):
+            blob = carve_balanced(text, m.end())
+            if blob is None or len(blob) <= best_len:
+                continue
+            v = _loads(blob)
+            if v is not None:
+                best, best_len = v, len(blob)
+    return best
 
 
 def regex_json(text: Optional[str], pattern: str,

@@ -661,25 +661,64 @@ def _sibling_ul_items(dom: FlatDOM, marker: str) -> list[str]:
 
 # -- pixels-detail (overstock/parse_overstock.py) ---------------------------
 
+_OS_MISSING_RE = re.compile(
+    r"const\s+missingAttributes\s*=\s*(\{.*?\})\s*const\s+scripts", re.DOTALL)
+_OS_DATALAYER_RE = re.compile(
+    r"window\.salesforce\.datalayer\.product\s*=\s*(\{.*?\})\;", re.DOTALL)
+
+
 def extract_pixels_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
-    script = C.script_by_id(scripts, "web-pixels-manager-setup")
-    if script is None:
-        script = C.script_containing(scripts, "webPixelsManager")
-    if script is None:
+    """overstock/parse_overstock.py twin. The four carriers live in
+    DIFFERENT scripts on real pages (verified on the reference's 9
+    overstock_detail_* snapshots), so every script is scanned with the
+    reference's own markers (:78-110). The PowerReviews fields come from a
+    NETWORK call in the reference (get_reviews, :150-156) — out of scope
+    here (S3-S5), so rating/total_ratings/review_aspects stay None/[]
+    unless a reviews blob is embedded in the page."""
+    gate = C.script_by_id(scripts, "web-pixels-manager-setup") \
+        or C.script_containing(scripts, "webPixelsManager")
+    if gate is None:
         return None
-    # J2: three carved blobs (:80-103).
-    missing = C.regex_json(script, r"const missingAttributes\s*=\s*(\{.*?\})\s*\n")
-    desc = C.regex_json(script, r"const scripts\s*=\s*(\{.*?\})\s*\n")
-    prod = C.regex_json(
-        script, r"window\.salesforce\s*=\s*\{datalayer:\s*\{product:\s*(\{.*?\})\}\};")
-    if prod is None:
+    missing: dict = {}
+    prod: dict = {}
+    init_data: dict = {}
+    product_variants: list = []
+    reviews: dict = {}
+    for text, attrs in scripts:
+        if "const missingAttributes" in text:
+            m = _OS_MISSING_RE.findall(text)
+            if not m:  # single-script synthetic form (no const scripts after)
+                m = re.findall(r"const missingAttributes\s*=\s*(\{.*?\})\s*\n",
+                               text, re.DOTALL)
+            if m:
+                missing = C._loads(m[0]) or {}
+        if attrs.get("id") == "web-pixels-manager-setup":
+            # initData: {...} — brace-carved (the ref regex :89-92 keys on
+            # a literal purchasingCompany":null suffix; carving is stable).
+            pos = text.find("initData:")
+            if pos >= 0:
+                blob = C.carve_balanced(text, text.find("{", pos))
+                init_data = C._loads(blob) or {}
+            pv = re.findall(r"const productVariants\s*=\s*(\[.*?\])\s*\n",
+                            text, re.DOTALL)
+            if pv:
+                product_variants = C._loads(pv[0]) or []
+            rv = re.findall(r"const reviews\s*=\s*(\{.*?\})\s*\n",
+                            text, re.DOTALL)
+            if rv:
+                reviews = C._loads(rv[0]) or {}
+        if "window.salesforce.datalayer.product" in text:
+            m = _OS_DATALAYER_RE.findall(text)
+            if m:
+                # ref :103 takes matches[1] (the 2nd assignment; the 1st is
+                # an empty init) — fall back to the only one when single.
+                prod = C._loads(m[1] if len(m) > 1 else m[0]) or {}
+    if not product_variants:
+        product_variants = gj(init_data, ["productVariants"]) or []
+    if not prod and not missing:
         return None
-    product_variants = C.regex_json(
-        script, r"const productVariants\s*=\s*(\[.*?\])\s*\n") or []
-    reviews = C.regex_json(script, r"const reviews\s*=\s*(\{.*?\})\s*\n") or {}
-    init_data = C.regex_json(script, r"const initData\s*=\s*(\{.*?\})\s*\n")
     # X1 sectionizer over the description lines (:205-229).
-    lines = (gj(desc, ["description"]) or "").split("\n")
+    lines = (missing.get("description") or "").split("\n")
     buckets = F.sectionize_lines(
         lines, {"features:": "features", "dimensions:": "dimensions"})
     specifications = [
@@ -697,28 +736,30 @@ def extract_pixels_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dic
                 images.append(F.prefix_url("", src))
     rollup = gj(reviews, ["rollup"]) or {}
     detail = {
-        "product_id": str(prod.get("id")),
-        "listing_id": gj(product_variants, [0, "product", "id"]),
-        "name": prod.get("title"),
-        "brand": prod.get("vendor"),
-        "price": prod.get("price"),
-        "list_price": prod.get("compare_at_price"),
-        "currency": prod.get("currency"),
-        "currency_symbol": "$",
-        # Reviews payload (PowerReviews shape, overstock:151-156,274):
-        # rollup wins over the datalayer mirror.
-        "rating": rollup.get("average_rating", prod.get("rating")),
-        "total_ratings": rollup.get("rating_count", prod.get("ratings_count")),
-        "total_reviews": rollup.get("review_count", prod.get("reviews_count")),
-        "description": " ".join(buckets["description"]),
+        "product_id": (str(prod.get("id")) if prod.get("id") is not None
+                       else None),
+        "listing_id": gj(product_variants, [0, "product", "id"]),  # ref :131
+        "name": missing.get("name"),                               # ref :117
+        "brand": gj(missing, ["brand", "name"]),                   # ref :118
+        "price": gj(product_variants, [0, "price", "amount"]),     # ref :136
+        "list_price": None,                                        # ref :133
+        "currency": gj(product_variants,
+                       [0, "price", "currencyCode"]),              # ref :142
+        "currency_symbol": prod.get("currency"),                   # ref :143
+        # PowerReviews rollup is network-fetched in the ref (:150-156);
+        # embedded blob wins when present, else None offline.
+        "rating": rollup.get("average_rating"),
+        "total_ratings": rollup.get("rating_count"),
+        "total_reviews": rollup.get("review_count"),
+        "description": "".join(f"{ln}\n" for ln in buckets["description"]),
         "main_image": ("https:" + src
                        if (src := gj(product_variants, [0, "image", "src"]))
                        else None),
         "images": images,
-        "categories": gj(missing, ["categories"]),
+        "categories": prod.get("taxonomyList"),                    # ref :174
         "specifications": specifications,
         "in_stock": prod.get("available"),
-        "url": _canonical_url(dom, url),
+        "url": missing.get("url") or _canonical_url(dom, url),     # ref :119
         "features": buckets["features"] or None,
         "max_quantity": gj(prod, ["inventory", 0, "quantity"]),
         "variant": ({"id": gj(product_variants, [0, "id"])}
@@ -930,15 +971,19 @@ def extract_escaped_component_detail(dom: FlatDOM, scripts: list,
 # -- webpack-detail (prev/parse_wayfair.py) ---------------------------------
 
 def extract_webpack_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    """prev/parse_wayfair.py twin (HotDeals detail pages) — runs on the
+    reference's real wayfair_detail_* snapshots
+    (tests/test_reference_fixtures.py)."""
     entry = C.webpack_entry_data(scripts)  # J5 re-keyed on marker
-    pd = gj(entry, ["application", "props", "productDetails"])
+    pd = gj(entry, ["application", "props", "productData"])  # ref :51
     if pd is None:
         return None
     price_data = pd.get("price")
-    # Name with whitespace collapse (T12, prev/parse_wayfair.py:68-69).
+    # Name with 2+-whitespace collapse (T12, prev/parse_wayfair.py:68-69 —
+    # exactly re.sub(r'\s{2,}', ' '), single newlines survive).
     name_n = S.select_one(dom, "a.HotDealsProductTitle")
-    name = (F.collapse_ws(dom.node_text(name_n).strip())
-            if name_n is not None else pd.get("name"))
+    name = (re.sub(r"\s{2,}", " ", dom.node_text(name_n).strip())
+            if name_n is not None else None)
     # Main image + carousel with data-URI filter (Q8) and hi-res rewrites
     # (T11, :74-90).
     viewer = S.select_one(dom, "div.ProductDetailSingleMediaViewer")
@@ -970,7 +1015,7 @@ def extract_webpack_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[di
         currency = dom.node_text(price_n).strip()[:1]
     # sku from the call-to-action form input (:142).
     sku_n = S.select_one(dom, "form.HotDealsCallToActionForm input[name=sku]")
-    sku_id = dom.attr(sku_n, "value") if sku_n is not None else pd.get("sku")
+    sku_id = dom.attr(sku_n, "value") if sku_n is not None else None
     brand_n = S.select_one(dom, "p.HotDealsProductTitle-manufacturerName")
     brand = (dom.node_text(brand_n).replace("By", "").strip()
              if brand_n is not None else None)
@@ -1000,32 +1045,39 @@ def extract_webpack_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[di
                          if main_image else None)
             variants.append({"type": type_name, "value": o.get("name"),
                              "image_url": image_url})
+    # Reference field set and insertion order (parse_wayfair.py:67-235);
+    # the envelope keys the product link "product_url" (:57), matching the
+    # committed overstock/bedbathbeyond_detail.json envelope shape.
     detail = {
-        "product_id": sku_id,
         "name": name,
-        "brand": brand,
+        "main_image": main_image,
+        "images": images,
         "price": price,
         "list_price": list_price,
         "currency": currency,
-        "currency_symbol": "$",
+        "description": None,        # prev/parse_wayfair.py:137 — hardcoded
+        "sku_id": sku_id,
+        "brand": brand,
         "rating": rating,
         "total_ratings": total_ratings,
         "total_reviews": None,
-        "description": None,        # prev/parse_wayfair.py:139 — hardcoded
-        "main_image": main_image,
-        "images": images,
-        "categories": None,
-        "specifications": None,
-        "variant": variant_sel,
-        "variants": variants,
-        "in_stock": None,
-        "url": _canonical_url(dom, url),
-        "sku": sku_id,
-        "sku_id": sku_id,
         "reviews": [],
         "retailer_badge": None,
+        "variant": variant_sel,
+        "variants": variants,
+        "delivery_postal_code": gj(pd, ["delivery", "postal_code"]),
+        "delivery_postal_code_city": gj(pd, ["delivery", "postal_code_city"]),
+        "shipping_info": None,
+        "features": None,
+        "at-a-glance": None,
     }
-    return _envelope(detail["url"], detail)
+    return {
+        "success": True,
+        "product_url": _canonical_url(dom, url),
+        "result_count": 1,
+        "detail": detail,
+        "remaining_credits": None,
+    }
 
 
 # -- discover-detail (prev/parse_tesco_html.py) -----------------------------

@@ -609,20 +609,20 @@ def _render_pixels_detail(p: dict, url: str) -> str:
     pid = int(p["product_id"])
     product_js = json.dumps({
         "id": p["product_id"], "title": p["name"], "vendor": p["brand"],
-        "price": p["price"], "compare_at_price": p["list_price"],
-        "currency": p["currency"],
-        "rating": p["rating"], "reviews_count": p["total_reviews"],
-        "ratings_count": p["total_ratings"],
+        "currency": p["currency_symbol"],     # datalayer carries the SYMBOL
         "available": p["in_stock"],
+        "taxonomyList": p["categories"],      # ref :174 categories source
         "inventory": [{"quantity": pid % 10 + 1}],
         "attributeList": [{"label": s["name"], "values": s["value"]}
                           for s in p["specifications"]],
     })
-    missing = json.dumps({"categories": p["categories"]})
     desc_lines = [p["description"], "Features:"] + p["features"] + [
         "Dimensions:",
     ] + [f"{s['name']}: {s['value']}" for s in p["specifications"]]
-    desc_blob = json.dumps({"description": "\n".join(desc_lines)})
+    # missingAttributes carries name/brand/url/description (ref :117-122).
+    missing = json.dumps({
+        "name": p["name"], "brand": {"name": p["brand"]}, "url": url,
+        "description": "\n".join(desc_lines)})
     variants_js = json.dumps([
         {"id": 7000 + k,
          "price": {"amount": p["price"], "currencyCode": p["currency"]},
@@ -648,14 +648,26 @@ def _render_pixels_detail(p: dict, url: str) -> str:
             for k in range(pid % 3 + 1)
         ],
     })
-    inline = (
-        "webPixelsManagerAPI = {};\n"
-        f"const missingAttributes = {missing}\n"
-        f"const scripts = {desc_blob}\n"
+    # The four carriers live in DIFFERENT scripts on real pages
+    # (parse_overstock.py:79-110 scans all of them): the datalayer script
+    # assigns product TWICE (the parser takes matches[1], ref :103), the
+    # pixels-manager script holds initData/productVariants/reviews, and
+    # missingAttributes rides a third script followed by `const scripts`.
+    datalayer_script = (
+        "window.salesforce = window.salesforce || {datalayer: {}};\n"
+        "window.salesforce.datalayer.product = {};\n"
+        f"window.salesforce.datalayer.product = {product_js};\n"
+    )
+    pixels_script = (
+        "webPixelsManagerAPI.create({\n"
+        '  initData: {"shop": {"countryCode": "US"}, '
+        '"purchasingCompany":null},});\n'
         f"const productVariants = {variants_js}\n"
         f"const reviews = {reviews_js}\n"
-        'const initData = {"shop": {"countryCode": "US"}}\n'
-        f"window.salesforce = {{datalayer: {{product: {product_js}}}}};\n"
+    )
+    attrs_script = (
+        f"const missingAttributes = {missing}\n"
+        'const scripts = {"tag": "pdp"}\n'
         f"var merchant_id = '{1000 + int(p['product_id']) % 97}';\n"
         f"var api_key = 'ak_{p['product_id']}';\n"
         f"var page_id = 'pdp-{p['product_id']}';"
@@ -669,7 +681,9 @@ def _render_pixels_detail(p: dict, url: str) -> str:
         _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
         + _main_block(p)
         + f'<ul class="media-viewer">{imgs}</ul>'
-        + f'<script id="web-pixels-manager-setup">{inline}</script>'
+        + f"<script>{datalayer_script}</script>"
+        + f'<script id="web-pixels-manager-setup">{pixels_script}</script>'
+        + f"<script>{attrs_script}</script>"
         + _FOOTER
     )
 
@@ -793,16 +807,21 @@ def _render_webpack_detail(p: dict, url: str) -> str:
         price_json["customerPrice"] = {
             "quantityPrice": {"value": p["price"], "currency": "USD"}}
     entry = {
-        "application": {"props": {"productDetails": {
-            "sku": f"W{p['product_id']}", "name": p["name"],
+        "application": {"props": {"productData": {   # parse_wayfair.py:51
             "price": price_json,
             "options": {"selectedOptions": selected,
                         "standardOptions": [
                             {"category_name": vtype, "options": options}]},
-            "description": p["description"],
+            "delivery": {"postal_code": f"100{pid % 90:02d}",
+                         "postal_code_city": "New York"},
         }}}
     }
-    inline = f'window["WEBPACK_ENTRY_DATA"] = {json.dumps(entry)};'
+    # Real pages also carry guarded spread-merge re-assignments
+    # (={...window[...], ...{delta}}) — rendered so the carve must pick
+    # the largest parsable blob, not the first marker hit.
+    spread = ('window["WEBPACK_ENTRY_DATA"]={...window["WEBPACK_ENTRY_DATA"], '
+              '...{"application":{"key":"HotDeals"}}};')
+    inline = (f'{spread}window["WEBPACK_ENTRY_DATA"] = {json.dumps(entry)};')
     main_image = (f"https://img.wayflair.example.com/5000/50001/p/"
                   f"{pid}_main.jpg")
     carousel_lis = (
@@ -1626,6 +1645,10 @@ def golden_envelope(idx: int) -> Optional[dict]:
         detail["returns"] = "Returns accepted\nwithin 30 days\n"
     elif profile == "pixels-detail":
         pid = int(p["product_id"])
+        # ref :133 hardcodes list_price None; description keeps the
+        # sectionizer's per-line trailing newlines (ref :225).
+        detail["list_price"] = None
+        detail["description"] = p["description"] + "\n"
         detail["features"] = list(p["features"])
         detail["specifications"] = [dict(s) for s in p["specifications"]]
         detail["product_id"] = p["product_id"]
@@ -1692,38 +1715,53 @@ def golden_envelope(idx: int) -> Optional[dict]:
         }
     elif profile == "webpack-detail":
         pid = int(p["product_id"])
-        detail["sku"] = f"W{p['product_id']}"
-        detail["sku_id"] = f"W{p['product_id']}"
-        detail["product_id"] = f"W{p['product_id']}"
-        detail["categories"] = None
-        detail["specifications"] = None
-        detail["description"] = None
-        detail["rating"] = float(f"{p['rating']:.1f}")
-        detail["total_reviews"] = None
-        detail["currency"] = "USD" if pid % 2 == 0 else "$"
         main_image = (f"https://img.wayflair.example.com/5000/50001/p/"
                       f"{pid}_main.jpg")
-        detail["main_image"] = main_image
-        detail["images"] = [
-            u.replace("/p/", "/resize-h800-w800/compr-r85/p/")
-            for u in p["images"]]
         vtype = p["variants"][0]["type"] if p["variants"] else "Color"
-        detail["variant"] = [
-            {"type": vtype, "value": v["value"]} for v in p["variants"]]
-        detail["variants"] = [
-            {"type": vtype, "value": v["value"],
-             "image_url": main_image.replace(
-                 "/5000/50001/", f"/{8000 + k}/{8000 + k}/")}
-            for k, v in enumerate(p["variants"])
-        ] + [
-            {"type": vtype, "value": f"Unused{k}",
-             "image_url": main_image.replace(
-                 "/5000/50001/", f"/{9900 + k}/{9900 + k}/")}
-            for k in range(2)
-        ]
-        detail["in_stock"] = None
-        detail["reviews"] = []
-        detail["retailer_badge"] = None
+        # Reference field set/order (parse_wayfair.py:67-235); envelope is
+        # the product_url variant (:36,57) — returned directly below.
+        detail = {
+            "name": p["name"],
+            "main_image": main_image,
+            "images": [u.replace("/p/", "/resize-h800-w800/compr-r85/p/")
+                       for u in p["images"]],
+            "price": p["price"],
+            "list_price": p["list_price"],
+            "currency": "USD" if pid % 2 == 0 else "$",
+            "description": None,
+            "sku_id": f"W{p['product_id']}",
+            "brand": p["brand"],
+            "rating": float(f"{p['rating']:.1f}"),
+            "total_ratings": p["total_ratings"],
+            "total_reviews": None,
+            "reviews": [],
+            "retailer_badge": None,
+            "variant": [{"type": vtype, "value": v["value"]}
+                        for v in p["variants"]],
+            "variants": [
+                {"type": vtype, "value": v["value"],
+                 "image_url": main_image.replace(
+                     "/5000/50001/", f"/{8000 + k}/{8000 + k}/")}
+                for k, v in enumerate(p["variants"])
+            ] + [
+                {"type": vtype, "value": f"Unused{k}",
+                 "image_url": main_image.replace(
+                     "/5000/50001/", f"/{9900 + k}/{9900 + k}/")}
+                for k in range(2)
+            ],
+            "delivery_postal_code": f"100{pid % 90:02d}",
+            "delivery_postal_code_city": "New York",
+            "shipping_info": None,
+            "features": None,
+            "at-a-glance": None,
+        }
+        return {
+            "success": True,
+            "product_url": url,
+            "result_count": 1,
+            "detail": detail,
+            "remaining_credits": None,
+        }
     elif profile == "discover-detail":
         pid = int(p["product_id"])
         detail["description"] = None

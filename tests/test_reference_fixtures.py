@@ -183,6 +183,51 @@ def test_mercado_real_serp_extracts():
     assert "currenty" in r0  # the reference's own typo key (parse_mercado.py)
 
 
+def test_wayfair_real_detail_pages_extract():
+    """The webpack carve must survive real pages' guarded spread-merge
+    re-assignments and the HotDeals DOM selectors must hit."""
+    names = ["wayfair_detail_2024-12-08_12-51-54.html",
+             "wayfair_detail_2024-12-08_12-53-05.html",
+             "wayfair_detail_2024-12-08_12-53-17.html",
+             "wayfair_detail_2024-12-08_12-56-31.html",
+             "wayfair_detail_one.html", "wayfair_detail_two.html"]
+    n_full = 0
+    for name in names:
+        out = _run(f"{REF}/prev/{name}", "https://www.wayfair.com/p/1")
+        assert out["status"] in ("ok", "no_rule"), (name, out["error"])
+        if out["profile"] != "webpack-detail":
+            continue
+        d = json.loads(out["envelope"])["detail"]
+        if d["name"] and d["price"] and d["sku_id"] and d["brand"]:
+            n_full += 1
+    assert n_full >= 4, n_full
+
+
+def test_wayfair_real_category_page_extracts():
+    out = _run(f"{REF}/prev/wayfair_category.html", "https://www.wayfair.com/c")
+    assert out["profile"] == "webpack-serp" and out["status"] == "ok"
+    env = json.loads(out["envelope"])
+    assert env["result_count"] >= 40
+    r0 = env["results"][0]
+    assert r0["sku"] and r0["name"] and r0["customer_price"]
+    assert r0["image_url"] and "resize-h800-w800" in r0["image_url"]
+
+
+def test_overstock_real_pages_extract():
+    """All 9 snapshots: the four carriers live in different scripts —
+    the scan must find name/brand/price/listing_id on every page."""
+    snaps = [f for f in os.listdir(f"{REF}/overstock") if f.endswith(".html")]
+    assert len(snaps) == 9
+    for name in snaps:
+        out = _run(f"{REF}/overstock/{name}",
+                   "https://www.bedbathandbeyond.com/p/x")
+        assert out["profile"] == "pixels-detail" and out["status"] == "ok"
+        d = json.loads(out["envelope"])["detail"]
+        assert d["name"] and d["brand"] and d["listing_id"], name
+        assert isinstance(d["price"], (int, float)), name
+        assert d["main_image"], name
+
+
 def test_all_samsclub_snapshots_extract_without_failure():
     """Every one of the reference's 17 snapshots must produce a status row
     (ok or degraded — never a crash)."""
