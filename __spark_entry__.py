@@ -311,6 +311,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _EN = "|".join(textops.EN_STOPWORDS)
 _ES = "|".join(textops.ES_STOPWORDS)
 
+
+def _langid_sql() -> str:
+    """CASE-ladder twin of textops.langid: earliest-argmax over the shared
+    stopword lists (checked from the LAST language down — lang L wins iff
+    it strictly beats every earlier language's count)."""
+    order = [lang for lang, _ in textops.LANG_STOPWORDS]
+    counts = {
+        lang: (r"len(regexp_extract_all(lower(text), '\b(" +
+               "|".join(ws) + r")\b'))")
+        for lang, ws in textops.LANG_STOPWORDS}
+    branches = []
+    for i in range(len(order) - 1, 0, -1):
+        lang = order[i]
+        earlier = [counts[o] for o in order[:i]]
+        prev = (f"GREATEST({', '.join(earlier)})" if len(earlier) > 1
+                else earlier[0])
+        branches.append(f"WHEN {counts[lang]} > {prev} THEN '{lang}'")
+    return ("CASE " + " ".join(branches) +
+            f" ELSE '{order[0]}' END")
+
 # Char-shingle expression shared by shingle_count / minhash / jaccard oracles
 # (textops.char_shingles twin: width 16, stride 8, distinct).
 _SHINGLES = """list_distinct(list_transform(
@@ -473,11 +493,8 @@ def oracle_sql() -> dict[str, str]:
                        w -> list_min(hs[w : w + 3])))), ',') AS fingerprint
             FROM hp
         """,
-        "langid": rf"""
-            SELECT doc_id,
-                   CASE WHEN len(regexp_extract_all(lower(text), '\b({_ES})\b'))
-                             > len(regexp_extract_all(lower(text), '\b({_EN})\b'))
-                        THEN 'es' ELSE 'en' END AS lang_detected
+        "langid": f"""
+            SELECT doc_id, {_langid_sql()} AS lang_detected
             FROM documents
         """,
         "quality_score": rf"""

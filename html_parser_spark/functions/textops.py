@@ -13,12 +13,24 @@ __all__ = [
     "token_count", "ws_token_count", "bpe_token_count", "word_hits",
     "langid", "quality_score", "char_shingles", "doc_fingerprint",
     "position_hashes", "winnow_fingerprint",
-    "EN_STOPWORDS", "ES_STOPWORDS",
+    "EN_STOPWORDS", "ES_STOPWORDS", "LANG_STOPWORDS",
 ]
 
 # Small fixed stopword lists — shared verbatim with the SQL oracle.
+# ASCII-only so the word-boundary regex behaves identically in Java regex
+# (Spark) and RE2 (DuckDB).
 EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "for", "with"]
 ES_STOPWORDS = ["el", "la", "de", "que", "los", "las", "una", "para"]
+FR_STOPWORDS = ["le", "les", "des", "est", "dans", "et", "une", "pour"]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "nicht", "mit", "von"]
+PT_STOPWORDS = ["os", "um", "uma", "com", "por", "mais", "mas", "seu"]
+
+# Priority order doubles as the tie-break: the EARLIEST language with the
+# maximal stopword-hit count wins (en on an all-zero text).
+LANG_STOPWORDS = [
+    ("en", EN_STOPWORDS), ("es", ES_STOPWORDS), ("fr", FR_STOPWORDS),
+    ("de", DE_STOPWORDS), ("pt", PT_STOPWORDS),
+]
 
 _TOKEN_PATTERN = r"\w+"
 
@@ -53,10 +65,23 @@ def word_hits(col: str, words: list[str]) -> Column:
 
 
 def langid(col: str = "text") -> Column:
-    """n-gram/stopword-heuristic language ID (en vs es)."""
-    en = word_hits(col, EN_STOPWORDS)
-    es = word_hits(col, ES_STOPWORDS)
-    return F.when(es > en, F.lit("es")).otherwise(F.lit("en"))
+    """Stopword-heuristic language ID over en/es/fr/de/pt.
+
+    Earliest-argmax over per-language word-bounded stopword hit counts
+    (ties → the earlier language in LANG_STOPWORDS; all-zero → en).
+    Expressed as a reverse when-chain so the SQL twin's CASE ladder is
+    provably equivalent."""
+    hits = {lang: word_hits(col, ws) for lang, ws in LANG_STOPWORDS}
+    order = [lang for lang, _ in LANG_STOPWORDS]
+    expr = None
+    for i in range(len(order) - 1, 0, -1):
+        lang = order[i]
+        earlier = [hits[o] for o in order[:i]]
+        beat = (hits[lang] > F.greatest(*earlier) if len(earlier) > 1
+                else hits[lang] > earlier[0])
+        expr = (F.when(beat, F.lit(lang)) if expr is None
+                else expr.when(beat, F.lit(lang)))
+    return expr.otherwise(F.lit(order[0]))
 
 
 def quality_score(col: str = "text") -> Column:
