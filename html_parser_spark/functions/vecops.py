@@ -8,13 +8,11 @@ cross product.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["dot", "l2_norm", "cosine", "dot_unrolled", "l2_norm_unrolled",
            "brute_force_topk", "lsh_bucket", "ivf_topk", "kmeans_cells",
-           "cell_sims", "near_dup_pairs", "lsh_bucketed_topk"]
+           "near_dup_pairs", "lsh_bucketed_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -202,31 +200,57 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             .where(F.col("rank") <= k))
 
 
-def cell_sims(vec: Column, cents: list[list[float]]) -> Column:
-    """Array of rounded cosine similarities from ``vec`` to each centroid.
+def _round6_half_away(S):
+    """Half-away-from-zero 6-decimal rounding (Spark F.round / DuckDB ROUND
+    semantics; np.round is half-even)."""
+    import numpy as np
+    return np.copysign(np.floor(np.abs(S) * 1e6 + 0.5) / 1e6, S)
 
-    Centroids arrive as driver-side literals (a k-means result is tiny —
-    n_cells × dim doubles), so this is a pure PROJECTION: per row one
-    fold per centroid, zero Exchange. Centroid norms are precomputed in
-    Python; the 6-decimal rounding makes the values engine-portable."""
-    vnorm = l2_norm(vec)
-    sims = []
-    for c in cents:
-        cnorm = math.sqrt(math.fsum(x * x for x in c))
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        sims.append(F.round(dot(vec, carr) / (vnorm * F.lit(cnorm)), 6))
-    return F.array(*sims)
+
+def _assign_cells(corpus: DataFrame, cents: list[list[float]],
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Map-only cell assignment: one Arrow-batched pass computing every
+    row's argmax-rounded-cosine cell against the broadcast centroid matrix
+    with a single BLAS matmul per batch — no crossJoin row blow-up, no
+    window shuffle, and no 16×64-literal expression tree (JVM codegen of
+    that shape measured ~4 s of pure planning per pass at sf0.1).
+
+    Ties break toward the smaller cell id (np.argmax takes the first
+    maximum — same ordering as the SQL twin's ``ORDER BY sim DESC, cell``).
+    Output: (neighbor_id, c_vec, c_norm, cell)."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1)[:, None]
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            norms = np.linalg.norm(V, axis=1)
+            S = _round6_half_away((V / norms[:, None]) @ Cn.T)
+            yield pd.DataFrame({
+                "neighbor_id": pdf[id_col].to_numpy(),
+                "c_vec": list(V),
+                "c_norm": norms,
+                "cell": S.argmax(axis=1).astype("int64"),
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        fn, "neighbor_id long, c_vec array<double>, c_norm double, cell long")
 
 
 def kmeans_cells(corpus: DataFrame, n_cells: int = 16, n_iter: int = 2,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> list[list[float]]:
     """Deterministic Lloyd k-means over cosine similarity, fully
-    DataFrame-side: assignment is a map-only projection (cell_sims +
-    argmax) and the re-estimation is ONE groupBy over ``n_cells`` keys
-    whose per-dimension means are map-side-combinable partial aggregates —
-    the corpus itself never shuffles and never reaches the driver; only
-    the n_cells × dim centroid matrix does.
+    DataFrame-side: assignment + per-cell partial sums run in ONE
+    Arrow-batched map-only pass per iteration (BLAS matmul per batch,
+    ≤ n_cells partial rows emitted per batch — map-side combine by
+    construction); the finish is a tiny driver reduce. The corpus itself
+    never shuffles and never reaches the driver; only the n_cells × dim
+    centroid matrix does.
 
     Determinism: init = the ``n_cells`` rows with smallest ids
     (order-independent), means rounded to 6 decimals each iteration,
@@ -234,33 +258,57 @@ def kmeans_cells(corpus: DataFrame, n_cells: int = 16, n_iter: int = 2,
     across engines, so a SQL twin can replay the exact same iterations.
     Empty cells drop out and the survivors are renumbered by ascending
     old id (ROW_NUMBER order in the SQL twin)."""
+    import numpy as np
+
     init = (corpus.orderBy(F.col(id_col)).limit(n_cells)
             .select(F.col(vec_col).cast("array<double>").alias("v"))
             .collect())
     cents = [list(r.v) for r in init]
     if not cents:
         return []
-    dim = len(cents[0])
     for _ in range(n_iter):
-        v = F.col(vec_col).cast("array<double>")
-        assigned = (corpus
-                    .select(v.alias("v"), cell_sims(v, cents).alias("sims"))
-                    .select("v", (F.array_position("sims",
-                                                   F.array_max("sims")) - 1)
-                            .alias("cell")))
-        rows = (assigned.groupBy("cell")
-                .agg(*[F.round(F.avg(F.element_at(F.col("v"), d + 1)), 6)
-                       .alias(f"c{d}") for d in range(dim)])
+        C = np.asarray(cents, dtype=np.float64)
+        Cn = C / np.linalg.norm(C, axis=1)[:, None]
+
+        def partials(batches):
+            import pandas as pd
+            for pdf in batches:
+                V = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf["v"]])
+                S = _round6_half_away(
+                    (V / np.linalg.norm(V, axis=1)[:, None]) @ Cn.T)
+                cell = S.argmax(axis=1)
+                rows = []
+                for c in np.unique(cell):
+                    rows.append({"cell": int(c),
+                                 "n": int((cell == c).sum()),
+                                 "sums": V[cell == c].sum(axis=0).tolist()})
+                yield pd.DataFrame(rows,
+                                   columns=["cell", "n", "sums"])
+
+        # One map-only pass per iteration: per-batch partial (count, Σvec)
+        # rows — ≤ n_cells per Arrow batch — then the tiny finish on the
+        # driver. The corpus never shuffles and never reaches the driver.
+        part = (corpus
+                .select(F.col(vec_col).cast("array<double>").alias("v"))
+                .mapInPandas(partials, "cell long, n long, sums array<double>")
                 .collect())
-        by_cell = {int(r["cell"]): [float(r[f"c{d}"]) for d in range(dim)]
-                   for r in rows}
-        cents = [by_cell[c] for c in sorted(by_cell)]
+        agg: dict[int, tuple[int, "np.ndarray"]] = {}
+        for r in part:
+            n0, s0 = agg.get(int(r.cell), (0, 0.0))
+            agg[int(r.cell)] = (n0 + r.n,
+                                s0 + np.asarray(r.sums, dtype=np.float64))
+        cents = [
+            _round6_half_away(agg[c][1] / agg[c][0]).tolist()
+            for c in sorted(agg)
+        ]
     return cents
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
              n_cells: int = 16, n_probe: int = 4, n_iter: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cents: "list[list[float]] | None" = None) -> DataFrame:
     """IVF approximate NN: coarse-quantize the corpus into k-means cells,
     probe only the ``n_probe`` nearest cells per query, exact-cosine rank
     within them.
@@ -268,38 +316,51 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     The classic inverted-file shape (Jégou et al., PAMI 2011 — public
     method): the cell id is a join KEY, so at crawl scale the search is an
     equi-join over ~n_probe/n_cells of the corpus instead of a cross
-    product. Cell ASSIGNMENT is map-only — an in-projection argmax over
-    the broadcast centroid sims (no crossJoin row blow-up, no window
+    product. Cell ASSIGNMENT is map-only — an Arrow-batched argmax over
+    the broadcast centroid matrix (no crossJoin row blow-up, no window
     shuffle; the corpus never shuffles at all since the tiny probe side is
     broadcast). Fully deterministic (see kmeans_cells), so the driver
     checks this query against an exact DuckDB twin; the *recall* (<1.0 by
     construction) is a pytest concern (test_dedup.py)."""
-    cents = kmeans_cells(corpus, n_cells=n_cells, n_iter=n_iter,
-                         id_col=id_col, vec_col=vec_col)
+    import numpy as np
+
+    # The coarse quantizer is an offline INDEX build — callers serving many
+    # query batches compute it once (kmeans_cells) and pass it in.
+    if cents is None:
+        cents = kmeans_cells(corpus, n_cells=n_cells, n_iter=n_iter,
+                             id_col=id_col, vec_col=vec_col)
     n_found = len(cents)
 
-    cv = F.col(vec_col).cast("array<double>")
-    # Two chained projections (sims once, argmax over the aliased column)
-    # so the 16-fold sims array is evaluated once per row.
-    c = (corpus.select(
-            F.col(id_col).alias("neighbor_id"), cv.alias("c_vec"),
-            l2_norm(cv).alias("c_norm"), cell_sims(cv, cents).alias("sims"))
-         .select("neighbor_id", "c_vec", "c_norm",
-                 (F.array_position("sims", F.array_max("sims")) - 1)
-                 .alias("cell")))
+    c = _assign_cells(corpus, cents, id_col, vec_col)
 
-    # Query side: rank cells by (sim desc, cell asc) via a struct sort and
-    # explode the first n_probe — still a projection (queries are few).
-    sims = cell_sims(cv, cents)
-    idxs = F.sequence(F.lit(0), F.lit(n_found - 1))
-    ranked = F.array_sort(F.zip_with(
-        sims, idxs,
-        lambda s, i: F.struct((-s).alias("neg_sim"), i.alias("cell"))))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), cv.alias("q_vec"),
-        l2_norm(cv).alias("q_norm"),
-        F.explode(F.transform(F.slice(ranked, 1, min(n_probe, n_found)),
-                              lambda st: st.cell)).alias("cell"))
+    # Query side: explode each query over its n_probe best cells, ranked
+    # by (rounded sim desc, cell asc) — the same Arrow-batched pattern.
+    Cq = np.asarray(cents, dtype=np.float64)
+    Cqn = Cq / np.linalg.norm(Cq, axis=1)[:, None]
+    k_probe = min(n_probe, n_found)
+
+    def probe(batches):
+        import pandas as pd
+        for pdf in batches:
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            norms = np.linalg.norm(V, axis=1)
+            S = _round6_half_away((V / norms[:, None]) @ Cqn.T)
+            # lexsort: primary -sim, secondary cell asc (its last key is
+            # the primary), then take the first k_probe per row.
+            out_id, out_vec, out_norm, out_cell = [], [], [], []
+            for i in range(len(V)):
+                order = np.lexsort((np.arange(n_found), -S[i]))[:k_probe]
+                for cell in order:
+                    out_id.append(pdf[id_col].iloc[i])
+                    out_vec.append(V[i])
+                    out_norm.append(norms[i])
+                    out_cell.append(int(cell))
+            yield pd.DataFrame({"query_id": out_id, "q_vec": out_vec,
+                                "q_norm": out_norm, "cell": out_cell})
+
+    q = queries.select(id_col, vec_col).mapInPandas(
+        probe, "query_id long, q_vec array<double>, q_norm double, cell long")
 
     scored = (
         c.join(F.broadcast(q), "cell")

@@ -52,17 +52,13 @@ def test_extraction_scan_prunes_to_needed_columns(spark, tmp_path):
 
 
 def test_ivf_corpus_assignment_is_map_only(spark):
-    """IVF cell assignment must be a projection (in-row argmax over
-    broadcast centroid sims) — no crossJoin blow-up, no window shuffle
-    (VERDICT r1 task 4)."""
+    """IVF cell assignment must be map-only (Arrow-batched argmax against
+    the broadcast centroid matrix) — no crossJoin blow-up, no window
+    shuffle (VERDICT r1 task 4)."""
     from html_parser_spark.functions import vecops
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     cents = vecops.kmeans_cells(emb, n_cells=4, n_iter=1)
-    v = F.col("embedding").cast("array<double>")
-    assigned = (emb.select("vec_id", vecops.cell_sims(v, cents).alias("sims"))
-                .select("vec_id",
-                        (F.array_position("sims", F.array_max("sims")) - 1)
-                        .alias("cell")))
+    assigned = vecops._assign_cells(emb, cents, "vec_id", "embedding")
     plan = A.formatted_plan(assigned)
     assert "Exchange" not in plan, plan
 
