@@ -1364,6 +1364,59 @@ def extract_webpack_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dict
     }
 
 
+# -- apijson-reviews (prev/parse_tesco.py) -----------------------------------
+
+def extract_apijson_reviews(dom: FlatDOM, scripts: list,
+                            url: str) -> Optional[dict]:
+    """Raw reviews-API JSON body → flat normalized dict, field-for-field
+    per prev/parse_tesco.py:18-55 (including its ``syndication_soure_name``
+    typo key and the flat non-envelope output shape). Verified on the
+    reference's real tesco_reviews_raw.json
+    (tests/test_reference_fixtures.py)."""
+    if scripts:
+        return None
+    raw = "".join(dom.texts[i] or "" for i in range(len(dom))
+                  if dom.tags[i] == "#text").strip()
+    if not raw.startswith("["):
+        return None
+    try:
+        data = json.loads(raw)
+    except ValueError:
+        return None
+    if not (isinstance(data, list) and data
+            and isinstance(data[0], dict)
+            and gj(data[0], ["data", "reviews"]) is not None):
+        return None
+    rv = data[0]["data"]["reviews"]
+    out = {
+        "offset": rv["info"]["offset"],
+        "total": rv["info"]["total"],
+        "page": rv["info"]["page"],
+        "count": rv["info"]["count"],
+        "product_tpnb": rv["product"]["tpnb"],
+        "product_tpnc": rv["product"]["tpnc"],
+        "overall_rating": rv["stats"]["overallRating"],
+        "overall_rating_range": rv["stats"]["overallRatingRange"],
+        "no_of_reviews": rv["stats"]["noOfReviews"],
+        "review_list": [
+            {"review_id": e["reviewId"],
+             "submission_time": e["submissionDateTime"],
+             "rating_value": e["rating"]["value"],
+             "rating_range": e["rating"]["range"],
+             "author_name": e["author"]["nickname"],
+             "is_authored_by_me": e["author"]["authoredByMe"],
+             "status": e["status"],
+             "summary": e["summary"],
+             "text": e["text"],
+             "is_syndicated": e["syndicated"],
+             # sic: the reference's misspelled output key (:50)
+             "syndication_soure_name": e["syndicationSource"]["name"]}
+            for e in rv["entries"]
+        ],
+    }
+    return out
+
+
 # -- apijson-serp (homedepot/parse_homedepot_json.py) ------------------------
 
 def extract_apijson_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
@@ -1387,7 +1440,7 @@ def extract_apijson_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dict
             "id": prod.get("code"),
             "name": prod.get("name"),
             "model_no": prod.get("modelNumber"),
-            "url": F.prefix_url("https://www.homestation.example.com",
+            "url": F.prefix_url("https://www.homedepot.ca",  # ref :47
                                 prod.get("url")),  # T10
             "brand": prod.get("brand"),
             "thumbnails": [prod.get("imageUrl")],
@@ -1432,6 +1485,7 @@ EXTRACTORS: list[tuple[str, Callable]] = [
     ("inline-js-detail", extract_inline_js_detail),
     ("css-serp", extract_css_serp),
     ("apijson-serp", extract_apijson_serp),
+    ("apijson-reviews", extract_apijson_reviews),
     ("ldjson-detail", extract_ldjson_detail),
 ]
 

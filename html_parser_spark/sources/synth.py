@@ -1411,7 +1411,7 @@ def golden_envelope(idx: int) -> Optional[dict]:
             results.append({
                 "id": prod["code"], "name": prod["name"],
                 "model_no": prod["modelNumber"],
-                "url": f"https://www.homestation.example.com{prod['url']}",
+                "url": f"https://www.homedepot.ca{prod['url']}",
                 "brand": prod["brand"],
                 "thumbnails": [prod["imageUrl"]],
                 "price": prod["pricing"]["displayPrice"]["value"],

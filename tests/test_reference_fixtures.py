@@ -228,6 +228,39 @@ def test_overstock_real_pages_extract():
         assert d["main_image"], name
 
 
+def test_homedepot_raw_json_extracts():
+    """Real CA search dump → apijson-serp rows with reference url prefix
+    (parse_homedepot_json.py:47)."""
+    raw = open(f"{REF}/homedepot/homedepot_raw_ca_search.json", "rb").read()
+    out = _extract_one("https://www.homedepot.ca/api/search", raw)
+    assert out["profile"] == "apijson-serp" and out["status"] == "ok"
+    env = json.loads(out["envelope"])
+    assert env["result_count"] == 40
+    r0 = env["results"][0]
+    assert r0["url"].startswith("https://www.homedepot.ca/")
+    assert r0["id"] and r0["name"] and r0["brand"] and r0["currency"] == "CAD"
+    assert isinstance(r0["price"], (int, float))
+
+
+def test_tesco_reviews_raw_json_normalizes():
+    """Raw reviews-API body (prev/tesco_reviews_raw.json) → flat dict per
+    parse_tesco.py, value-exact against the real fixture content."""
+    raw = open(f"{REF}/prev/tesco_reviews_raw.json", "rb").read()
+    out = _extract_one("https://api.tesco.example/reviews", raw)
+    assert out["profile"] == "apijson-reviews" and out["status"] == "ok"
+    env = json.loads(out["envelope"])
+    src = json.load(open(f"{REF}/prev/tesco_reviews_raw.json"))
+    rv = src[0]["data"]["reviews"]
+    assert env["offset"] == rv["info"]["offset"]
+    assert env["total"] == rv["info"]["total"]
+    assert env["product_tpnb"] == rv["product"]["tpnb"]
+    assert env["overall_rating"] == rv["stats"]["overallRating"]
+    assert len(env["review_list"]) == len(rv["entries"])
+    first = env["review_list"][0]
+    assert first["review_id"] == rv["entries"][0]["reviewId"]
+    assert "syndication_soure_name" in first  # the reference's typo key
+
+
 def test_all_samsclub_snapshots_extract_without_failure():
     """Every one of the reference's 17 snapshots must produce a status row
     (ok or degraded — never a crash)."""
