@@ -87,7 +87,14 @@ def extract_nextdata_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[d
         "total_reviews": prod.get("numberOfReviews"),
         "description": idml.get("shortDescription") or prod.get("shortDescription"),
         "images": [i.get("url") for i in gj(prod, ["imageInfo", "allImages"]) or []],
-        "categories": [c.get("name") for c in gj(prod, ["category", "path"]) or []],
+        # Committed goldens (walmart_detail*.json) carry {name, url} dicts
+        # with the walmart.com prefix (ref :30-31 builds them from the DOM
+        # breadcrumbs; the NEXT_DATA category.path carries the same pairs).
+        "categories": [
+            {"name": c.get("name"),
+             "url": (f"https://www.walmart.com{c.get('url')}"
+                     if c.get("url") else None)}
+            for c in gj(prod, ["category", "path"]) or []],
         "variants": variants,
         "in_stock": prod.get("availabilityStatus") == "IN_STOCK",
         "url": _canonical_url(dom, url),
@@ -116,7 +123,7 @@ def extract_nextdata_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[d
     # seller / delivery / returns (:116-132).
     detail["seller_name"] = prod.get("sellerName", "")
     detail["seller_url"] = (
-        f"https://www.walmarket.example.com/seller/{prod.get('sellerId', '')}")
+        f"https://www.walmart.com/seller/{prod.get('sellerId', '')}")  # :116
     fs = prod.get("fulfillmentSummary")
     dd = gj(fs, [0, "deliveryDate"]) if fs else None
     detail["est_delivery_date"] = dd.split("T")[0] if dd else None  # T7

@@ -277,7 +277,9 @@ def _render_nextdata_detail(p: dict, url: str) -> str:
         "numberOfReviews": p["total_reviews"],
         "numberOfRatings": p["total_ratings"],
         "imageInfo": {"allImages": [{"url": u} for u in p["images"]]},
-        "category": {"path": [{"name": c} for c in p["categories"]]},
+        "category": {"path": [
+            {"name": c, "url": f"/cp/{c.lower().replace(' ', '-')}"}
+            for c in p["categories"]]},
         "shortDescription": p["description"],
         "availabilityStatus": "IN_STOCK" if p["in_stock"] else "OUT_OF_STOCK",
         "variantsMap": {
@@ -1796,6 +1798,13 @@ def golden_envelope(idx: int) -> Optional[dict]:
     elif profile == "nextdata-detail":
         pid = int(p["product_id"])
         detail["id"] = p["product_id"]
+        # {name, url} dicts with the walmart.com prefix — the committed
+        # walmart_detail*.json golden shape.
+        detail["categories"] = [
+            {"name": c,
+             "url": ("https://www.walmart.com/cp/"
+                     + c.lower().replace(" ", "-"))}
+            for c in p["categories"]]
         detail["variants"] = [
             {"type": "Color", "value": v["value"], "available": v["available"]}
             for v in p["variants"]
@@ -1819,7 +1828,7 @@ def golden_envelope(idx: int) -> Optional[dict]:
         detail["key_features"] = list(p["features"])
         detail["seller_name"] = f"{p['brand']} Official Store"
         detail["seller_url"] = (
-            f"https://www.walmarket.example.com/seller/S{p['product_id']}")
+            f"https://www.walmart.com/seller/S{p['product_id']}")
         detail["est_delivery_date"] = f"2025-{pid % 9 + 1:02d}-{pid % 28 + 1:02d}"
         detail["returns_info"] = "Free 90-day returns"
     elif profile == "ldjson-detail":
