@@ -66,6 +66,33 @@ class TestCarriers:
         s = self._scripts('<script id="x">{broken</script>')
         assert C.json_script_by_id(s, "x") is None
 
+    def test_carve_balanced(self):
+        t = 'before {"a": {"b": "}x{"}, "c": [1]} ; trailing()'
+        start = t.index("{")
+        assert C.carve_balanced(t, start) == '{"a": {"b": "}x{"}, "c": [1]}'
+        # escaped quote inside string
+        t2 = '{"a": "q\\"}", "b": 1} tail'
+        assert C.carve_balanced(t2, 0) == '{"a": "q\\"}", "b": 1}'
+        # unterminated → None; bad start → None
+        assert C.carve_balanced('{"a": 1', 0) is None
+        assert C.carve_balanced("abc", 0) is None
+        assert C.carve_balanced("", 0) is None
+        assert C.carve_balanced("{}", 5) is None
+
+    def test_webpack_spread_merge_picks_largest_parsable(self):
+        # Real wayfair pages: guarded spread re-assignment + the full
+        # assignment in the same document; the carve must skip the
+        # non-JSON spread and the smaller delta.
+        s = self._scripts(
+            "<script>if (!window[\"WEBPACK_ENTRY_DATA\"]) {"
+            'window["WEBPACK_ENTRY_DATA"]={...window["WEBPACK_ENTRY_DATA"],'
+            ' ...{"application":{"key":"HotDeals"}}};}</script>'
+            '<script>window["WEBPACK_ENTRY_DATA"] = {"application":'
+            ' {"props": {"productData": {"x": 1}}}};</script>'
+            '<script>window["WEBPACK_ENTRY_DATA"]={"small": 1};</script>')
+        v = C.webpack_entry_data(s)
+        assert v == {"application": {"props": {"productData": {"x": 1}}}}
+
 
 class TestFieldTransforms:
     def test_parse_money(self):

@@ -137,13 +137,26 @@ def test_samsclub_snapshot_structure(name):
 # -- other real-page families: profile dispatch + core-field extraction -----
 
 def test_costco_real_pages_extract():
-    """costco_{1..4}.html → inline-js profile with real scalar carves."""
+    """costco_{1..4}.html → inline-js profile with real scalar carves.
+
+    Price/pid are cross-checked against an INDEPENDENT regex pull straight
+    from the page bytes (the same literals parse_costco.py:49-63 carves),
+    so the extractor's values are pinned to page content, not to itself."""
+    import re as _re
     for i in (1, 2, 3, 4):
+        page = open(f"{REF}/costco/costco_{i}.html", encoding="utf-8",
+                    errors="replace").read()
         out = _run(f"{REF}/costco/costco_{i}.html",
                    f"https://www.costco.com/x.product.{i}.html")
         assert out["profile"] == "inline-js-detail" and out["status"] == "ok"
         d = json.loads(out["envelope"])["detail"]
         assert d["name"] and isinstance(d["price"], (int, float)), (i, d)
+        m = _re.search(r"priceMax\s*:\s*'(.*?)'", page)
+        if m and m.group(1):
+            assert d["price"] == float(m.group(1).replace(",", "")), i
+        m = _re.search(r"\bpid\s*:\s*'(.*?)'", page)
+        if m and m.group(1):
+            assert d["product_id"] == m.group(1), i
 
 
 def test_tesco_real_page_extracts():
