@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from html_parser_spark.functions import dedup, mediaops, textops, vecops
 from html_parser_spark.job import pipeline as P
 from html_parser_spark.sources.media import media_from_documents
+from html_parser_spark.sources import synth as _synth
 from html_parser_spark.sources.synth import PROFILES as _SYNTH_PROFILES
 
 
@@ -84,6 +85,21 @@ def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = P.extract_pages(pages)
     return (P.metrics_from_extracted(ext)
             .select("profile", "status", "n_docs"))
+
+
+def _q_extract_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispatch surface of the extraction pipeline, hash-checked: for every
+    page, the (url, profile, status) triple the engine produced. All three
+    are pure functions of the page index (sources/synth.py url_for /
+    profile_for + the dispatch semantics pinned by test_profiles), so the
+    DuckDB twin recomputes them from a generated range — the content
+    fields stay in the rows-only extract_pages query (no SQL twin can
+    parse HTML)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = max(200, min(docs.count() * 4, 20000))
+    pages = P.synthesize_pages(spark, n)
+    return (P.extract_pages(pages)
+            .select("url", "profile", "status"))
 
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction engine (HTML parse itself is non-SQL → rows-only, but
         # the metrics side table mirrors the deterministic corpus → oracled)
         "extract_pages": _q_extract_pages,
+        "extract_dispatch": _q_extract_dispatch,
         "extract_metrics": _q_extract_metrics,
         # relational skeleton (SURVEY.md §2.6)
         "pricing_summary": _q_pricing_summary,
@@ -359,6 +376,10 @@ _PAIR_COSINE = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
 # The synth corpus' profile round-robin, shared verbatim with the generator
 # (sources/synth.py:49) so the extract_metrics oracle mirrors profile_for.
 _PROFILE_ARRAY = "[" + ", ".join(f"'{p}'" for p in _SYNTH_PROFILES) + "]"
+# Parallel site/category constants for the url_for twin (sources/synth.py).
+_SITE_ARRAY = "[" + ", ".join(
+    f"'{_synth._SITES[p]}'" for p in _SYNTH_PROFILES) + "]"
+_CAT_ARRAY = "[" + ", ".join(f"'{c.lower()}'" for c in _synth._CATS) + "]"
 
 
 def _lsh_bucket_expr(vec: str, n_bits: int = 8) -> str:
@@ -418,6 +439,42 @@ def oracle_sql() -> dict[str, str]:
               FROM idx)
             SELECT profile, status, COUNT(*) AS n_docs
             FROM assigned GROUP BY profile, status
+        """,
+        "extract_dispatch": f"""
+            -- url/profile/status replayed from the page index: url_for /
+            -- profile_for twins (sources/synth.py:90,161) + the dispatch
+            -- outcome (error pages match no carrier → NULL/no_rule).
+            WITH n AS (SELECT GREATEST(200, LEAST(COUNT(*) * 4, 20000))
+                           AS n_pages FROM documents),
+            idx AS (SELECT UNNEST(range(0, n_pages)) AS i FROM n),
+            base AS (
+              SELECT i,
+                     CASE WHEN i % 50 = 48 THEN 'pdf'
+                          WHEN i % 50 = 49 THEN 'error'
+                          ELSE ({_PROFILE_ARRAY})[CAST(i % 13 AS INT) + 1]
+                     END AS gen_profile
+              FROM idx)
+            SELECT
+              CASE WHEN gen_profile = 'pdf'
+                     THEN 'https://files.example.com/docs/report-'
+                          || i || '.pdf'
+                   WHEN gen_profile = 'error'
+                     THEN 'https://blocked.example.com/item/' || i
+                   WHEN gen_profile = 'escaped-component-detail'
+                     THEN 'https://www.bestbuyer.example.com/site/item-'
+                          || (100000 + i) || '/' || (100000 + i)
+                          || '.p?skuId=' || (100000 + i)
+                   ELSE 'https://www.'
+                        || ({_SITE_ARRAY})[CAST(i % 13 AS INT) + 1]
+                        || '.example.com/'
+                        || ({_CAT_ARRAY})[CAST(i % 7 AS INT) + 1]
+                        || '/item-' || (100000 + i) || '/' || (100000 + i)
+              END AS url,
+              CASE WHEN gen_profile = 'error' THEN NULL
+                   ELSE gen_profile END AS profile,
+              CASE WHEN gen_profile = 'error' THEN 'no_rule'
+                   ELSE 'ok' END AS status
+            FROM base
         """,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
