@@ -102,6 +102,21 @@ def _q_extract_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("url", "profile", "status"))
 
 
+def _q_host_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host page counts over the extracted corpus — the URL-ops
+    aggregation every crawl pipeline needs (host skew detection feeds the
+    host-salted repartition in job/pipeline.py). JVM-side parse_url; the
+    twin recomputes hosts from the deterministic urls."""
+    docs = _t(spark, sf_dir, "documents")
+    n = max(200, min(docs.count() * 4, 20000))
+    pages = P.synthesize_pages(spark, n)
+    return (P.extract_pages(pages)
+            .groupBy(F.parse_url(F.col("url"), F.lit("HOST")).alias("host"))
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
+                 .alias("n_ok")))
+
+
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -300,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pages": _q_extract_pages,
         "extract_dispatch": _q_extract_dispatch,
         "extract_metrics": _q_extract_metrics,
+        "host_doc_counts": _q_host_doc_counts,
         # relational skeleton (SURVEY.md §2.6)
         "pricing_summary": _q_pricing_summary,
         "top_revenue_nations": _q_top_revenue_nations,
@@ -475,6 +491,29 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN gen_profile = 'error' THEN 'no_rule'
                    ELSE 'ok' END AS status
             FROM base
+        """,
+        "host_doc_counts": f"""
+            WITH n AS (SELECT GREATEST(200, LEAST(COUNT(*) * 4, 20000))
+                           AS n_pages FROM documents),
+            idx AS (SELECT UNNEST(range(0, n_pages)) AS i FROM n),
+            base AS (
+              SELECT i,
+                     CASE WHEN i % 50 = 48 THEN 'pdf'
+                          WHEN i % 50 = 49 THEN 'error'
+                          ELSE ({_PROFILE_ARRAY})[CAST(i % 13 AS INT) + 1]
+                     END AS gen_profile
+              FROM idx)
+            SELECT
+              CASE WHEN gen_profile = 'pdf' THEN 'files.example.com'
+                   WHEN gen_profile = 'error' THEN 'blocked.example.com'
+                   ELSE 'www.' || ({_SITE_ARRAY})[CAST(i % 13 AS INT) + 1]
+                        || '.example.com'
+              END AS host,
+              COUNT(*) AS n_pages,
+              -- CAST: DuckDB SUM(INT) is HUGEINT (float64 in pandas)
+              CAST(SUM(CASE WHEN gen_profile = 'error' THEN 0 ELSE 1 END)
+                   AS BIGINT) AS n_ok
+            FROM base GROUP BY 1
         """,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
