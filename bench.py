@@ -198,7 +198,8 @@ def main() -> None:
     # scale) — iterating the registry keeps new operators from silently
     # dropping out of the bench.
     qmap = E.queries()
-    skip = {"extract_pages", "extract_metrics"}
+    skip = {"extract_pages", "extract_metrics", "extract_dispatch",
+            "host_doc_counts"}
     for name in sorted(set(qmap) - skip):
         queries[name] = _timed(lambda n=name: qmap[n](spark, SF_DIR))
 
