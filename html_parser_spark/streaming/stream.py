@@ -18,6 +18,10 @@ continuously-crawling pages table needs:
 - :func:`sessionize` — custom stateful operator via
   ``applyInPandasWithState``: per-user session assembly with a gap timeout
   (the canonical "operator Spark lacks" shape).
+- :func:`stream_dedup` — streaming exact dedup: md5 fingerprint +
+  watermarked ``dropDuplicatesWithinWatermark``, the continuous-ingest twin
+  of the batch ``exact_dedup`` query (state = one fingerprint per doc
+  within the watermark horizon, sharded on the dedup key).
 
 At crawl scale: the file stream lists only new files per microbatch (no
 rescan of the table), and the extraction stage remains map-only — state
@@ -41,7 +45,7 @@ from pyspark.sql.types import (
 from ..job.pipeline import PAGES_SCHEMA, extract_pages, write_snapshot
 
 __all__ = ["stream_extract", "windowed_event_counts", "sessionize",
-           "SESSION_SCHEMA"]
+           "stream_dedup", "SESSION_SCHEMA"]
 
 
 def stream_extract(spark: SparkSession, pages_dir: str, table_dir: str,
@@ -68,6 +72,25 @@ def stream_extract(spark: SparkSession, pages_dir: str, table_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup(docs: DataFrame, watermark: str = "1 hour",
+                 ts_col: str = "warc_ts", text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: keep the first doc per content fingerprint.
+
+    The continuous-ingest twin of the batch ``exact_dedup`` query: the same
+    md5-of-normalized-text key, deduplicated with
+    ``dropDuplicatesWithinWatermark`` so the per-key state is BOUNDED by the
+    watermark horizon — at crawl scale the state store holds one 32-byte
+    fingerprint per unique doc seen within the horizon, sharded on the
+    fingerprint key across executors, instead of growing without limit the
+    way a plain ``dropDuplicates`` on a stream would."""
+    from ..functions.textops import doc_fingerprint
+
+    return (docs
+            .withColumn("fingerprint", doc_fingerprint(text_col))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["fingerprint"]))
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

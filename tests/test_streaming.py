@@ -162,3 +162,34 @@ def test_write_snapshot_idempotent_per_run_id(spark, tmp_path):
     assert m2["snapshot_id"] == m1["snapshot_id"]
     assert len(P.committed_snapshots(table)) == 1
     assert P.committed_table(spark, table).count() == 10
+
+
+def test_stream_dedup_keeps_first_per_fingerprint(spark, tmp_path):
+    rows = [
+        ("u1", "2024-01-01 10:00:00", "same text body"),
+        ("u2", "2024-01-01 10:01:00", "Same   text\tbody"),  # ws/case dup
+        ("u3", "2024-01-01 10:02:00", "different content entirely"),
+        ("u4", "2024-01-01 10:03:00", "same text body"),     # exact dup
+    ]
+    src = str(tmp_path / "docs")
+    (spark.createDataFrame(rows, ["url", "ts", "text"])
+     .select("url", F.col("ts").cast("timestamp").alias("warc_ts"), "text")
+     .coalesce(1).write.parquet(src))
+
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, text string")
+              .parquet(src))
+    deduped = ST.stream_dedup(stream)
+    sink = []
+    q = (deduped.writeStream
+         .foreachBatch(lambda df, _id: sink.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    kept = {r.url for r in sink}
+    # one survivor per fingerprint; normalization folds whitespace+case
+    assert "u3" in kept
+    assert len(kept & {"u1", "u2", "u4"}) == 1
+    assert len(kept) == 2
