@@ -4,8 +4,12 @@
                synthetic pages corpus (sf0.001 scale).
 ``queries``  — one entry per implemented operator family (SURVEY.md §2 +
                training-data ops); each takes (spark, sf_dir).
-``oracle_sql`` — DuckDB twins for everything SQL-expressible. Extraction
-               queries (HTML parsing) are inherently non-SQL → rows-only.
+``oracle_sql`` — DuckDB twins for everything SQL-expressible — 23 of the
+               24 queries, including the extraction pipeline's
+               deterministic surfaces (dispatch, metrics, host counts,
+               replayed from the corpus index). Only ``extract_pages``
+               (the HTML-parsed content fields) is inherently non-SQL →
+               rows-only.
 
 Column-name discipline: every computed column is aliased identically in the
 Spark query and the SQL so the driver's sorted-column value-hash matches.
