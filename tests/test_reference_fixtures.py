@@ -241,6 +241,42 @@ def test_overstock_real_pages_extract():
         assert d["main_image"], name
 
 
+def _wrap_script(payload: str, script_id: str, url: str) -> bytes:
+    return (f'<html><head><link rel="canonical" href="{url}"></head><body>'
+            f'<script id="{script_id}" type="application/json">{payload}'
+            "</script></body></html>").encode()
+
+
+def test_samsclub_saved_redux_payload_extracts():
+    """The reference's committed redux-state fixture (json_data.json) fed
+    through the engine — real payload, known product."""
+    payload = open(f"{REF}/1.samsclub/json_data.json", encoding="utf-8").read()
+    out = _extract_one(
+        "https://www.samsclub.com/p/x",
+        _wrap_script(payload, "tb-djs-wml-redux-state",
+                     "https://www.samsclub.com/p/x"))
+    assert out["profile"] == "redux-detail" and out["status"] == "ok"
+    d = json.loads(out["envelope"])["detail"]
+    assert d["name"] == "Energizer AAA Ultimate Lithium Batteries"
+    assert d["brand"] == "Energizer" and d["price"] == 34.98
+    assert d["sku_id"] == "sku21916255" and d["item_no"] == "980044326"
+
+
+def test_bedbathbeyond_saved_nextdata_payloads_extract():
+    """All five committed NEXT_DATA dumps extract through nextprops."""
+    for f in ("next_data", "next_data_1", "next_data_2", "next_data_3"):
+        payload = open(f"{REF}/bedbathbeyond/{f}.json",
+                       encoding="utf-8").read()
+        out = _extract_one(
+            "https://www.bedbathandbeyond.com/p/x",
+            _wrap_script(payload, "__NEXT_DATA__",
+                         "https://www.bedbathandbeyond.com/p/x"))
+        assert out["profile"] == "nextprops-detail", f
+        assert out["status"] == "ok", f
+        d = json.loads(out["envelope"])["detail"]
+        assert d["name"] and isinstance(d["price"], (int, float)), f
+
+
 def test_homedepot_raw_json_extracts():
     """Real CA search dump → apijson-serp rows with reference url prefix
     (parse_homedepot_json.py:47)."""
