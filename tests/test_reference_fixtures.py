@@ -257,7 +257,7 @@ def test_samsclub_saved_redux_payload_extracts():
                      "https://www.samsclub.com/p/x"))
     assert out["profile"] == "redux-detail" and out["status"] == "ok"
     d = json.loads(out["envelope"])["detail"]
-    assert d["name"] == "Energizer AAA Ultimate Lithium Batteries"
+    assert d["name"] == "Energizer AAA Ultimate Lithium Batteries, 18 pk."
     assert d["brand"] == "Energizer" and d["price"] == 34.98
     assert d["sku_id"] == "sku21916255" and d["item_no"] == "980044326"
 
