@@ -226,6 +226,8 @@ def _assign_cells(corpus: DataFrame, cents: list[list[float]],
     def fn(batches):
         import pandas as pd
         for pdf in batches:
+            if pdf.empty:
+                continue
             V = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col]])
             norms = np.linalg.norm(V, axis=1)
@@ -273,6 +275,8 @@ def kmeans_cells(corpus: DataFrame, n_cells: int = 16, n_iter: int = 2,
         def partials(batches):
             import pandas as pd
             for pdf in batches:
+                if pdf.empty:
+                    continue
                 V = np.stack([np.asarray(v, dtype=np.float64)
                               for v in pdf["v"]])
                 S = _round6_half_away(
@@ -330,6 +334,10 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
         cents = kmeans_cells(corpus, n_cells=n_cells, n_iter=n_iter,
                              id_col=id_col, vec_col=vec_col)
     n_found = len(cents)
+    if n_found == 0:  # empty corpus → no cells → no neighbors
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int")
 
     c = _assign_cells(corpus, cents, id_col, vec_col)
 
@@ -342,6 +350,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     def probe(batches):
         import pandas as pd
         for pdf in batches:
+            if pdf.empty:
+                continue
             V = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col]])
             norms = np.linalg.norm(V, axis=1)
