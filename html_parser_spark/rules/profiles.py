@@ -363,6 +363,8 @@ def extract_redux_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict
         detail["dimensions"] = detail["dimensions_data"] = None
     # Savings → buying_offers (:335-347).
     savings = gj(offer, ["price", "savings"])
+    if not isinstance(savings, dict):  # hostile JSON: non-dict savings
+        savings = None
     detail["buying_offers"] = {
         "amount_saved": savings.get("savingsAmount"),
         "type": gj(savings, ["memberPromotions", 0, "type"]),
