@@ -264,6 +264,16 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", dedup.simhash16("text").alias("simhash"))
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hamming self-join demo on a bounded slice: the synthetic
+    corpus draws from a ~24-word vocabulary, so 16-bit SimHash collides
+    heavily corpus-wide (8.6k exact-signature pairs at sf0.01 — output
+    would be quadratic noise, not dedup signal). 50 docs keep the oracled
+    demo value-exact and the result set meaningful."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(docs)
@@ -331,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         # Both ANN paths are approximate in RECALL but fully deterministic,
@@ -648,6 +659,24 @@ def oracle_sql() -> dict[str, str]:
                                 list_distinct(regexp_extract_all(lower(text), '\w+')) AS toks
                          FROM documents)
             SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM tok
+        """,
+        "simhash_pairs": rf"""
+            WITH tok AS (SELECT doc_id,
+                                list_distinct(regexp_extract_all(lower(text),
+                                                                 '\w+')) AS toks
+                         FROM documents WHERE doc_id < 50),
+            sig AS (SELECT doc_id, {_SIMHASH_BITS} AS sig FROM tok),
+            bands AS (
+              SELECT doc_id, sig, b, (sig >> (b * 4)) % 16 AS val
+              FROM sig, (SELECT UNNEST(range(0, 4)) AS b) t),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.sig AS sa, b.sig AS sb
+              FROM bands a JOIN bands b
+                ON a.b = b.b AND a.val = b.val AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "jaccard_pairs": f"""
             WITH sh0 AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),

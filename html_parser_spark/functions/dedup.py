@@ -30,7 +30,7 @@ from .textops import char_shingles
 
 __all__ = [
     "minhash_signature", "minhash_bands", "minhash_lsh_pairs",
-    "simhash16", "jaccard_pairs",
+    "simhash16", "simhash_pairs", "jaccard_pairs",
 ]
 
 K_HASHES = 16       # minhash signature length
@@ -153,6 +153,44 @@ def simhash16(col: str = "text") -> Column:
         pos = F.size(F.filter(tokens, bit_vote(b)))
         out = out + F.when(pos * 2 >= n, F.lit(1 << (b - 1))).otherwise(F.lit(0))
     return out
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 2,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """SimHash near-duplicate pairs: banded hamming-distance self-join.
+
+    The 16-bit signature splits into 4 bands of 4 bits; by pigeonhole, any
+    pair within ``max_hamming`` ≤ 3 bit flips shares at least one
+    unchanged band, so candidates come from a BAND-KEY equi-join (shuffle
+    on (band, value) — never an all-pairs product), then the exact
+    popcount of the XOR filters to the radius. At crawl scale this is the
+    classic Manku et al. (WWW 2007, public method) sharded-table shape:
+    4 sorted shards, one per band.
+
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b, distinct."""
+    sig = docs.select(F.col(id_col).alias("doc_id"),
+                      simhash16(text_col).alias("sig"))
+    bands = sig.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     (F.shiftright("sig", b * 4) % 16).alias("val"))
+            for b in range(4)
+        ])).alias("bk"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.sig").alias("sig_a"),
+                    F.col("b.sig").alias("sig_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    return (cand
+            .select("doc_a", "doc_b",
+                    F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                    .alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
 
 
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",

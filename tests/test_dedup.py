@@ -61,6 +61,19 @@ def test_simhash_identical_and_distinct(spark, docs):
     assert got[3] == expect
 
 
+def test_simhash_pairs_banded_hamming(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0          # identical docs: distance 0
+    # pure-python ground truth: every pair within the radius, no more
+    sigs = {r.doc_id: r.s for r in docs.select(
+        "doc_id", dedup.simhash16("text").alias("s")).collect()}
+    expect = {(a, b): bin(sigs[a] ^ sigs[b]).count("1")
+              for a in sigs for b in sigs if a < b
+              and bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    assert pairs == expect
+
+
 def test_jaccard_pairs_values(docs):
     rows = {(r.doc_a, r.doc_b): r.jaccard
             for r in dedup.jaccard_pairs(docs, max_df=10).collect()}
