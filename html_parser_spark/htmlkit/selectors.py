@@ -235,20 +235,31 @@ def select_one(dom: FlatDOM, selector: str,
 
 _XPATH_STEP_RE = re.compile(
     r"(/{1,2})([a-zA-Z][a-zA-Z0-9_-]*|\*)"
-    r"(?:\[@([a-zA-Z-]+)=\"([^\"]*)\"\])?"
+    r"((?:\[[^\]]*\])*)"
 )
+_XPATH_PRED_RE = re.compile(
+    r"""\[\s*(?:
+        @(?P<eq_attr>[a-zA-Z-]+)\s*=\s*"(?P<eq_val>[^"]*)"
+      | contains\(\s*@(?P<ct_attr>[a-zA-Z-]+)\s*,\s*"(?P<ct_val>[^"]*)"\s*\)
+    )\s*\]""", re.VERBOSE)
 
 
 def xpath_to_css(xpath: str) -> str:
     """Compile the bestbuy XPath subset to our CSS grammar.
 
-    Supports ``//tag``, ``/tag``, ``[@attr="value"]`` predicates, and a
-    trailing ``/text()`` (dropped — callers read text themselves). E.g.
-    ``//div[@class="sku-title"]/h1/text()`` → ``div[class="sku-title"] > h1``.
-    """
+    Supports ``//tag``, ``/tag``, ``[@attr="value"]`` (exact, even when the
+    value contains spaces) and ``[contains(@attr, "v")]`` (substring →
+    ``[attr*="v"]``) predicates, plus a trailing ``/text()`` or ``/@attr``
+    (both dropped — callers read text/attributes themselves). E.g.
+    ``//div[@class="sku-title"]/h1/text()`` → ``div[class="sku-title"] > h1``,
+    ``//img[@draggable="false"]/@src`` → ``img[draggable="false"]``.
+    These are exactly the forms bestbuy uses
+    (/root/reference/bestbuy/parse_bestbuy_detai.py:33-86,125)."""
     xp = xpath.strip()
     if xp.endswith("/text()"):
         xp = xp[: -len("/text()")]
+    else:
+        xp = re.sub(r"/@[a-zA-Z-]+$", "", xp)
     out: list[str] = []
     pos = 0
     first = True
@@ -256,10 +267,19 @@ def xpath_to_css(xpath: str) -> str:
         if m.start() != pos:
             raise ValueError(f"unsupported xpath: {xpath!r}")
         pos = m.end()
-        sep, tag, attr, val = m.groups()
+        sep, tag, preds = m.groups()
         css = tag if tag != "*" else "*"
-        if attr:
-            css += f'[{attr}="{val}"]'
+        ppos = 0
+        for pm in _XPATH_PRED_RE.finditer(preds or ""):
+            if pm.start() != ppos:
+                raise ValueError(f"unsupported xpath predicate: {xpath!r}")
+            ppos = pm.end()
+            if pm.group("eq_attr"):
+                css += f'[{pm.group("eq_attr")}="{pm.group("eq_val")}"]'
+            else:
+                css += f'[{pm.group("ct_attr")}*="{pm.group("ct_val")}"]'
+        if ppos != len(preds or ""):
+            raise ValueError(f"unsupported xpath predicate: {xpath!r}")
         if first:
             out.append(css)
             first = False

@@ -838,51 +838,51 @@ def extract_escaped_component_detail(dom: FlatDOM, scripts: list,
                 initial_data = C.unescape_embedded_json(m[0]) or {}
             break
 
-    # XPath DOM fields (ref :33-86); /text() picks the FIRST direct text
-    # node, whitespace preserved (the golden keeps bs4's double spaces).
-    name_texts = [t for h1 in S.select(dom, 'div[class="sku-title"] > h1')
-                  for t in dom.child_texts(h1)]
+    # XPath DOM fields — the reference's LITERAL XPath strings (ref :33-86)
+    # compiled through the P2 subset compiler; /text() picks direct text
+    # nodes, whitespace preserved (the golden keeps bs4's double spaces).
+    def xtexts(xpath: str) -> list[str]:
+        return [t for node in S.select(dom, S.xpath_to_css(xpath))
+                for t in dom.child_texts(node)]
+
+    name_texts = xtexts('//div[@class="sku-title"]/h1/text()')
     name = _first_text(name_texts)
-    brand_texts = [t for a in S.select(dom, 'div[class="shop-product-title"] a')
-                   for t in dom.child_texts(a)]
+    brand_texts = xtexts('//div[@class="shop-product-title"]//a/text()')
     brand = brand_texts[0].strip() if brand_texts else None
     # Ref :42 reads og:url, but the committed golden pins detail.url to the
     # REQUESTED url (the og:url on the saved page drops the intl=nosplash
     # query arg) — golden wins; fall back to og:url without a request url.
-    og = S.select_one(dom, 'meta[property="og:url"]')
+    og = S.select_one(dom, S.xpath_to_css(
+        '//meta[@property="og:url"]/@content'))
     page_url = url or (dom.attr(og, "content") if og is not None else None)
-    img_srcs = [src for i in S.select(dom, 'img[draggable="false"]')
-                if (src := dom.attr(i, "src")) is not None]
+    img_srcs = [
+        src for i in S.select(dom, S.xpath_to_css(
+            '//img[@draggable="false"]/@src'))
+        if (src := dom.attr(i, "src")) is not None]
     images = (F.dedup_preserve_order([s.split(";")[0] for s in img_srcs])
               if img_srcs else None)  # R8 dedup + ;size strip (ref :46)
-    price_texts = [
-        t for sp in S.select(
-            dom, 'div[class="pricing-price"] '
-                 'div[class="priceView-hero-price priceView-customer-price"]'
-                 ' > span')
-        for t in dom.child_texts(sp)]
+    price_texts = xtexts(
+        '//div[@class="pricing-price"]//div[@class="priceView-hero-price '
+        'priceView-customer-price"]/span/text()')
     price = (float(price_texts[0].replace("$", "").replace(",", ""))
              if price_texts else None)
     pid_m = re.findall(r"\/(\d+).p", page_url) if page_url else []
-    rating_texts = [
-        t for n in S.select(dom, 'div[class*="ugc-ratings-reviews"] '
-                                 'span[class*="ugc-c-review-average"]')
-        for t in dom.child_texts(n)]
-    reviews_texts = [
-        t for n in S.select(dom, 'div[class*="ugc-ratings-reviews"] '
-                                 'span[class*="c-reviews"]')
-        for t in dom.child_texts(n)]
+    rating_texts = xtexts(
+        '//div[contains(@class, "ugc-ratings-reviews")]'
+        '//span[contains(@class, "ugc-c-review-average")]/text()')
+    reviews_texts = xtexts(
+        '//div[contains(@class, "ugc-ratings-reviews")]'
+        '//span[contains(@class, "c-reviews")]/text()')
     # T13: in_stock = any add-to-cart button text containing the CTA (:70-71).
     in_stock = any(
         "Add to Cart" in t
-        for b in S.select(dom, 'div[class="fulfillment-add-to-cart-button"]'
-                               ' button')
-        for t in dom.child_texts(b))
+        for t in xtexts('//div[@class="fulfillment-add-to-cart-button"]'
+                        '//button/text()'))
     # R11/R12: breadcrumb //text() zipped positionally with //@href, skip
     # the site-root crumb (ref :73-83 — including its quirk of pairing the
     # flattened text list against the per-anchor href list by index).
-    crumb_anchors = S.select(
-        dom, 'nav[class="c-breadcrumbs"] a[data-track="Breadcrumb"]')
+    crumb_anchors = S.select(dom, S.xpath_to_css(
+        '//nav[@class="c-breadcrumbs"]//a[@data-track="Breadcrumb"]'))
     cat_names = [t for a in crumb_anchors for t in dom.descendant_texts(a)]
     cat_urls = [h for a in crumb_anchors
                 if (h := dom.attr(a, "href")) is not None]

@@ -159,6 +159,25 @@ class TestSelectors:
         css2 = S.xpath_to_css("//ul//li")
         assert len(S.select(dom, css2)) == 2
 
+    def test_xpath_contains_and_attr_tail(self):
+        # The bestbuy forms (parse_bestbuy_detai.py:45,60-66), verbatim.
+        assert (S.xpath_to_css('//img[@draggable="false"]/@src')
+                == 'img[draggable="false"]')
+        assert (S.xpath_to_css(
+            '//div[contains(@class, "ugc-ratings-reviews")]'
+            '//span[contains(@class, "ugc-c-review-average")]/text()')
+            == 'div[class*="ugc-ratings-reviews"] '
+               'span[class*="ugc-c-review-average"]')
+        # exact-match attr values may contain spaces
+        css = S.xpath_to_css(
+            '//div[@class="priceView-hero-price priceView-customer-price"]'
+            '/span/text()')
+        assert css == ('div[class="priceView-hero-price '
+                       'priceView-customer-price"] > span')
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            S.xpath_to_css('//div[starts-with(@id, "x")]')
+
 
 def test_chain_backtracks_over_descendant_steps():
     """'article > div span': the nearest div ancestor of span fails the
