@@ -244,6 +244,7 @@ _XPATH_PRED_RE = re.compile(
     )\s*\]""", re.VERBOSE)
 
 
+@lru_cache(maxsize=256)
 def xpath_to_css(xpath: str) -> str:
     """Compile the bestbuy XPath subset to our CSS grammar.
 
