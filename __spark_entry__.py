@@ -265,12 +265,12 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded hamming self-join demo on a bounded slice: the synthetic
-    corpus draws from a ~24-word vocabulary, so 16-bit SimHash collides
-    heavily corpus-wide (8.6k exact-signature pairs at sf0.01 — output
-    would be quadratic noise, not dedup signal). 50 docs keep the oracled
-    demo value-exact and the result set meaningful."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    """Banded hamming self-join over the FULL corpus: the 64-bit SimHash
+    (dedup.simhash64) gives each of the 4 band keys 16 bits (65,536
+    values), so bands stay selective at any corpus size — unlike the
+    16-bit demo variant, which collided corpus-wide on this vocabulary
+    and had to be bounded to 50 docs in round 2."""
+    docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, max_hamming=3)
 
 
@@ -399,6 +399,18 @@ _SIMHASH_BITS = " + ".join(
     f"substring(md5(t), {b}, 1)))) >= len(toks) "
     f"THEN {1 << (b - 1)} ELSE 0 END)"
     for b in range(1, 17)
+)
+
+# 64-bit SimHash twin (dedup.simhash64): digit b of md5(t)||md5('x'||t)
+# votes bit b; bit 64's weight is -2^63 written as BIGINT-safe arithmetic
+# (a bare -9223372036854775808 literal would promote to HUGEINT in DuckDB
+# and poison the xor/bit_count types downstream).
+_SIMHASH64_BITS = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(hs, h -> contains('89abcdef', "
+    f"substring(h, {b}, 1)))) >= n "
+    f"THEN {(1 << (b - 1)) if b < 64 else '(-9223372036854775807 - 1)'} "
+    f"ELSE 0 END)"
+    for b in range(1, 65)
 )
 
 _PAIR_COSINE = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
@@ -664,10 +676,14 @@ def oracle_sql() -> dict[str, str]:
             WITH tok AS (SELECT doc_id,
                                 list_distinct(regexp_extract_all(lower(text),
                                                                  '\w+')) AS toks
-                         FROM documents WHERE doc_id < 50),
-            sig AS (SELECT doc_id, {_SIMHASH_BITS} AS sig FROM tok),
+                         FROM documents),
+            hx AS (SELECT doc_id, len(toks) AS n,
+                          list_transform(toks,
+                                         t -> md5(t) || md5('x' || t)) AS hs
+                   FROM tok),
+            sig AS (SELECT doc_id, {_SIMHASH64_BITS} AS sig FROM hx),
             bands AS (
-              SELECT doc_id, sig, b, (sig >> (b * 4)) % 16 AS val
+              SELECT doc_id, sig, b, (sig >> (b * 16)) & 65535 AS val
               FROM sig, (SELECT UNNEST(range(0, 4)) AS b) t),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

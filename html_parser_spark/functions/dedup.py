@@ -9,8 +9,9 @@ path) and each with an exact ANSI-SQL twin in ``__spark_entry__.oracle_sql``:
   bucket self-join for candidate pairs (the classic shingle→minhash→band→
   bucket-join pipeline; only same-band docs ever meet, so the join is
   band-local instead of all-pairs)
-- **SimHash**    — per-token md5 bit votes → 16-bit fingerprint; duplicates
-  collide on the integer value (groupBy, no join at all)
+- **SimHash**    — per-token md5 bit votes → fingerprint; 16-bit variant
+  for groupBy-collision dedup demos, 64-bit (``simhash64``) for the
+  crawl-scale banded hamming join (16-bit band keys stay selective)
 - **n-gram Jaccard** — exact set overlap for pairs sharing a rare shingle
   (document-frequency cap keeps the shingle self-join from exploding on
   boilerplate shingles — the standard scale guard)
@@ -30,7 +31,7 @@ from .textops import char_shingles
 
 __all__ = [
     "minhash_signature", "minhash_bands", "minhash_lsh_pairs",
-    "simhash16", "simhash_pairs", "jaccard_pairs",
+    "simhash16", "simhash64", "simhash_pairs", "jaccard_pairs",
 ]
 
 K_HASHES = 16       # minhash signature length
@@ -155,27 +156,72 @@ def simhash16(col: str = "text") -> Column:
     return out
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 2,
+def simhash64(col: str = "text") -> Column:
+    """64-bit SimHash over distinct lowercase word tokens — the crawl-scale
+    fingerprint (Manku et al., WWW 2007 use 64 bits for 8B documents).
+
+    Per token, the 64 hex digits of ``md5(t) || md5('x'||t)`` supply 64
+    independent bit votes (digit in [8,f] = that digit's high bit set →
+    vote +1). The token array is hashed ONCE via ``transform`` and the 64
+    vote counters accumulate in ONE ``aggregate`` pass over the hash
+    strings (``zip_with`` against position 1..64) — the naive per-bit
+    ``filter`` shape used by :func:`simhash16` would re-evaluate both md5s
+    per token for every bit (128 digests/token; here it is exactly 2).
+
+    Bit 64's weight is ``-2**63`` so the sum stays inside signed int64 —
+    identical two's-complement value in Spark and DuckDB, and xor /
+    bit_count / shift-mask band extraction all agree on signed values.
+    """
+    tokens = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col(col)), F.lit(r"\w+"), F.lit(0)))
+    n = F.size(tokens)
+    hx = F.transform(tokens, lambda t: F.concat(
+        F.md5(F.encode(t, "utf-8")),
+        F.md5(F.encode(F.concat(F.lit("x"), t), "utf-8"))))
+    js = F.sequence(F.lit(1), F.lit(64))
+    votes = F.aggregate(
+        hx, F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc, js,
+            lambda a, j: a + F.when(
+                F.contains(F.lit("89abcdef"), F.substring(h, j, F.lit(1))),
+                F.lit(1)).otherwise(F.lit(0))))
+    weights = F.lit([1 << (b - 1) for b in range(1, 64)] + [-(1 << 63)])
+    return F.aggregate(
+        F.zip_with(votes, weights,
+                   lambda v, w: F.when(v * 2 >= n, w).otherwise(F.lit(0))),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """SimHash near-duplicate pairs: banded hamming-distance self-join.
 
-    The 16-bit signature splits into 4 bands of 4 bits; by pigeonhole, any
-    pair within ``max_hamming`` ≤ 3 bit flips shares at least one
+    The 64-bit signature splits into 4 bands of 16 bits; by pigeonhole,
+    any pair within ``max_hamming`` ≤ 3 bit flips shares at least one
     unchanged band, so candidates come from a BAND-KEY equi-join (shuffle
     on (band, value) — never an all-pairs product), then the exact
     popcount of the XOR filters to the radius. At crawl scale this is the
     classic Manku et al. (WWW 2007, public method) sharded-table shape:
-    4 sorted shards, one per band.
+    4 sorted shards, one per band — and 16-bit band keys (65,536 values)
+    keep every bucket selective, unlike a 4-bit banding whose 16 possible
+    values would make each bucket hold ~n/16 of the corpus.
 
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b, distinct."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 4-band pigeonhole guarantee "
+            "only covers radius <= 3; a larger radius would silently miss "
+            "pairs. Use more/narrower bands for a wider radius.")
     sig = docs.select(F.col(id_col).alias("doc_id"),
-                      simhash16(text_col).alias("sig"))
+                      simhash64(text_col).alias("sig"))
     bands = sig.select(
         "doc_id", "sig",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     (F.shiftright("sig", b * 4) % 16).alias("val"))
+                     F.shiftright("sig", b * 16).bitwiseAND(F.lit(65535))
+                     .alias("val"))
             for b in range(4)
         ])).alias("bk"))
     a, b = bands.alias("a"), bands.alias("b")
@@ -205,17 +251,25 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     The rare-shingle join generates CANDIDATE pairs only; the Jaccard for
     a surviving pair is then computed exactly over the FULL shingle sets
     (array_intersect) — counting the intersection over rare shingles alone
-    would systematically underestimate boilerplate-heavy duplicates."""
-    from pyspark.sql import Window
+    would systematically underestimate boilerplate-heavy duplicates.
 
+    Skew note: the df-cap must never itself concentrate hot-key rows. A
+    window count over ``partitionBy(sh)`` would shuffle every occurrence
+    of a boilerplate shingle to ONE task before dropping it — 10⁸ docs
+    sharing a header shingle = 10⁸ rows in one partition. Instead the df
+    is a ``groupBy(sh).count()`` (map-side partial aggregation collapses a
+    hot shingle to one row per map task before any shuffle), the *hot* set
+    (df > max_df — boilerplate only, small by construction) is broadcast,
+    and the cap is a broadcast ANTI-join: hot rows are dropped map-side,
+    so no stage ever fans raw hot-shingle rows into a single partition.
+    Per-doc shingles are distinct (char_shingles dedups), so count(*)
+    per shingle == its document frequency."""
     shs = docs.select(F.col(id_col).alias("doc_id"),
                       char_shingles(text_col).alias("shs"))
     sh = shs.select("doc_id", F.explode("shs").alias("sh"))
-    # Document frequency as a window count over the shingle key: one
-    # shuffle on `sh` that the self-join below re-uses, instead of a
-    # separate aggregate + broadcast of the rare-shingle set.
-    sh_r = (sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
-            .where(F.col("df") <= max_df).drop("df"))
+    hot = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+           .where(F.col("df") > max_df).select("sh"))
+    sh_r = sh.join(F.broadcast(hot), "sh", "left_anti")
     a = sh_r.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh_r.select(F.col("doc_id").alias("doc_b"), "sh")
     cand = (

@@ -61,17 +61,43 @@ def test_simhash_identical_and_distinct(spark, docs):
     assert got[3] == expect
 
 
+def _simhash64_py(text: str) -> int:
+    """Pure-python twin of dedup.simhash64 (unsigned 64-bit value)."""
+    import re
+    toks = set(re.findall(r"\w+", text.lower()))
+    sig = 0
+    for b in range(64):
+        hx = (lambda t: hashlib.md5(t.encode()).hexdigest()
+              + hashlib.md5(b"x" + t.encode()).hexdigest())
+        votes = sum(1 for t in toks if hx(t)[b] in "89abcdef")
+        if 2 * votes >= len(toks):
+            sig |= 1 << b
+    return sig
+
+
+def test_simhash64_matches_python_twin(spark, docs):
+    got = {r.doc_id: r.s & ((1 << 64) - 1) for r in docs.select(
+        "doc_id", dedup.simhash64("text").alias("s")).collect()}
+    expect = {r.doc_id: _simhash64_py(r.text) for r in docs.collect()}
+    assert got == expect
+    assert got[0] == got[1] and got[0] != got[3]
+
+
 def test_simhash_pairs_banded_hamming(spark, docs):
     pairs = {(r.doc_a, r.doc_b): r.hamming
              for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
     assert pairs.get((0, 1)) == 0          # identical docs: distance 0
     # pure-python ground truth: every pair within the radius, no more
-    sigs = {r.doc_id: r.s for r in docs.select(
-        "doc_id", dedup.simhash16("text").alias("s")).collect()}
+    sigs = {r.doc_id: _simhash64_py(r.text) for r in docs.collect()}
     expect = {(a, b): bin(sigs[a] ^ sigs[b]).count("1")
               for a in sigs for b in sigs if a < b
               and bin(sigs[a] ^ sigs[b]).count("1") <= 3}
     assert pairs == expect
+
+
+def test_simhash_pairs_rejects_wide_radius(docs):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(docs, max_hamming=4)
 
 
 def test_jaccard_pairs_values(docs):
