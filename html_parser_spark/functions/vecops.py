@@ -113,7 +113,10 @@ def near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
     floor 16) so a block row — one ``collect_list`` of its vectors — stays
     size-bounded: ~8k × 64-dim doubles ≈ 4 MB regardless of corpus size,
     instead of n/16 vectors in one row (an executor OOM at crawl scale).
-    The count() driving it is parquet-metadata cheap."""
+    The count() driving it is parquet-metadata cheap for a plain scan, but
+    executes the full upstream lineage as an extra job when ``corpus`` is
+    a derived DataFrame — cache the input or precompute the count upstream
+    if that lineage is expensive."""
     n_blocks = _n_blocks(corpus.count(), rows_per_block)
     blocks = corpus.select(
         F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),

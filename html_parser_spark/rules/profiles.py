@@ -153,6 +153,15 @@ def extract_nextdata_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[d
 _WM_BASE = "https://www.walmart.com"  # walmart/parse_walmart.py:90,98
 
 
+def _wm_url(path) -> Optional[str]:
+    """Base-join a stripped canonicalUrl. The reference's f-string renders
+    the literal 'https://www.walmart.comNone' when the key is absent
+    (parse_walmart.py:90 has no None guard); no committed golden exercises
+    the missing-key case, so emit None rather than the concat artifact."""
+    p = F.strip_query(path)
+    return f"{_WM_BASE}{p}" if p is not None else None
+
+
 def extract_nextdata_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
     """walmart/parse_walmart.py twin — verified field-exact against all
     three committed golden pairs (walmart_mustard.html ↔ walmart-mustard.json,
@@ -200,8 +209,7 @@ def extract_nextdata_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dic
                  "price": None,
                  "id": gj(a, ["selectedProduct", "usItemId"]),
                  "model_no": gj(a, ["products", 0]),
-                 "url": f"{_WM_BASE}"
-                        f"{F.strip_query(gj(a, ['selectedProduct', 'canonicalUrl']))}"}
+                 "url": _wm_url(gj(a, ["selectedProduct", "canonicalUrl"]))}
                 for a in vc.get("variantList") or []
             ]
         # est_delivery_date: first non-null deliveryDate over the
@@ -220,7 +228,7 @@ def extract_nextdata_serp(dom: FlatDOM, scripts: list, url: str) -> Optional[dic
             # Golden-anchored: committed goldens strip the canonicalUrl
             # query (?classType=…) and date-only the delivery timestamp,
             # and carry None where the page has '' / 0 placeholder values.
-            "url": f"{_WM_BASE}{F.strip_query(it.get('canonicalUrl'))}",
+            "url": _wm_url(it.get("canonicalUrl")),
             "price_reduced": cur if was is not None else None,
             "price": was if was is not None else cur,
             "currency_code": currency_code,
@@ -896,6 +904,7 @@ def extract_escaped_component_detail(dom: FlatDOM, scripts: list,
     product_features: list = []
     energy_star = False
     model_no = None
+    cd_degraded = None
     for text, _attrs in scripts:
         if "getInitializer" not in text or "componentData" not in text:
             continue
@@ -906,22 +915,39 @@ def extract_escaped_component_detail(dom: FlatDOM, scripts: list,
                 "app", {}):
             continue
         cd = data["app"]["componentData"]
-        if cd["product-description"]["shouldRenderComponent"]:
-            frags = cd["product-description"]["description"][
-                "longDescription"]["parsedHtmlFragments"]
+        # Ref :92-120 indexes these component keys directly and would
+        # crash on a page missing one, which in this pipeline downgraded
+        # the whole row to status='error' and discarded the DOM fields.
+        # Guard each sub-key and surface '_degraded' instead, matching
+        # the walmart/samsclub partial-extraction pattern; the committed
+        # golden page carries all four keys, so parity is unaffected.
+        cd_missing = [k for k in ("product-description", "whats-included",
+                                  "product-features",
+                                  "product-energy-ratings")
+                      if not isinstance(cd.get(k), dict)]
+        if cd_missing:
+            cd_degraded = ("componentData missing component keys: "
+                           + ", ".join(cd_missing))
+        pdsc = cd.get("product-description") or {}
+        if pdsc.get("shouldRenderComponent"):
+            frags = gj(pdsc, ["description", "longDescription",
+                              "parsedHtmlFragments"]) or []
             description = " ".join(f["plainText"] for f in frags
                                    if "plainText" in f)
-        if cd["whats-included"]["shouldRenderComponent"]:
+        winc = cd.get("whats-included") or {}
+        if winc.get("shouldRenderComponent"):
             included_items = [i.get("description")
-                              for i in cd["whats-included"]["includedItems"]]
-        model_no = cd["product-features"]["modelNumber"]
-        if cd["product-features"]["shouldRenderComponent"]:
+                              for i in winc.get("includedItems") or []]
+        pfea = cd.get("product-features") or {}
+        model_no = pfea.get("modelNumber")
+        if pfea.get("shouldRenderComponent"):
             product_features = [
                 {"name": f["title"], "value": f["description"]}
-                for f in cd["product-features"]["features"]]
-        if cd["product-energy-ratings"]["shouldRenderComponent"]:
-            energy_star = cd["product-energy-ratings"]["energyRatings"][
-                "energyStarCertified"]
+                for f in pfea.get("features") or []]
+        pnrg = cd.get("product-energy-ratings") or {}
+        if pnrg.get("shouldRenderComponent"):
+            energy_star = bool(gj(pnrg, ["energyRatings",
+                                         "energyStarCertified"]))
 
     # shop-specifications script by id-contains (ref :124-136).
     specifications: list = []
@@ -974,7 +1000,10 @@ def extract_escaped_component_detail(dom: FlatDOM, scripts: list,
         "specifications": specifications,
         "upc": upc,
     }
-    return _envelope(url, detail)
+    env = _envelope(url, detail)
+    if cd_degraded:
+        env["_degraded"] = cd_degraded
+    return env
 
 
 # -- webpack-detail (prev/parse_wayfair.py) ---------------------------------

@@ -44,3 +44,23 @@ def test_detect_carrier_on_detail_profiles():
         seen.add(c)
     assert {"redux_state", "next_data", "discover_json", "webpack_entry",
             "escaped_component", "pixels", "inline_js"} <= seen
+
+
+def test_bestbuy_missing_component_key_degrades_not_errors():
+    """A real page missing a componentData sub-key must surface as a
+    '_degraded' envelope that keeps the already-extracted DOM fields —
+    not crash into status='error' (ADVICE r2: reference :92-120 indexes
+    the keys directly and would discard the whole row)."""
+    idx = next(i for i in range(40)
+               if synth.profile_for(i) == "escaped-component-detail")
+    html = synth.render_page(idx).decode("utf-8")
+    assert "whats-included" in html
+    mutated = html.replace("whats-included", "whats-excluded")
+    dom = tokenize(mutated)
+    prof, env = extract_page(dom, collect_scripts(dom), synth.url_for(idx))
+    assert prof == "escaped-component-detail"
+    assert "whats-included" in env.pop("_degraded")
+    gold = synth.golden_envelope(idx)
+    assert env["detail"]["name"] == gold["detail"]["name"]
+    assert env["detail"]["price"] == gold["detail"]["price"]
+    assert env["detail"]["included_items"] == []
