@@ -480,10 +480,8 @@ def _render_nextprops_detail(p: dict, url: str) -> str:
             "defaultOptionId": 1000,          # ref :68 list_price source
             "meta": {"htmlUrl": url},         # ref :61
             "description": desc_html,
-            "subcategories": [
-                {"subcategory_title": c,
-                 "subcategory_url": "c/" + c.lower().replace(" ", "-")}
-                for c in p["categories"]],
+            "ratingCounts": p["rating_hist"],  # ref :102 rides the product
+            "priceSet": [{"label": "Sale", "symbol": "$"}],  # ref :79
             "options": options,
             "oViewerImages": viewer_images,
             "specificationAttributes": {"attributeGroups": [{
@@ -496,8 +494,15 @@ def _render_nextprops_detail(p: dict, url: str) -> str:
                 {"contentName": "Assembly Guide",
                  "contentUrl": f"/guides/{pid}"}] if pid % 3 == 0 else [],
         },
+        # ref :139-147: categories ride crossSell[0].tiles.
+        "crossSell": [{"tiles": [
+            {"subcategory_title": c,
+             "subcategory_url": "c/" + c.lower().replace(" ", "-")}
+            for c in p["categories"]]}],
+        "config": {"shipping": {"freeShippingBaseline": 50,
+                                "freeShippingThreshold": 49.99,
+                                "flatRate": round(pid % 10 + 0.99, 2)}},
         "initialPowerReviews": {
-            "ratingCounts": p["rating_hist"],
             "paging": {"total_results": p["total_reviews"]},
             "results": [{"reviews": [
                 {"details": {"nickname": f"bb_user{k}",
@@ -511,15 +516,18 @@ def _render_nextprops_detail(p: dict, url: str) -> str:
                 for k in range(pid % 2 + 1)
             ]}],
         },
-        "financingOffers": [
+        # ref :81: the singular 'financingOffer' key.
+        "financingOffer": [
             {"data": {"financingOfferType": "DEFERRED"},
              "html": {"messageHtml": "<b>0% APR</b> for 12 months"}}
         ] if pid % 2 == 0 else [],
-        # dataLayer rides pageProps.meta (ref :46-47).
-        "meta": {"dataLayer": {
-            "product_image_url": [
-                f"https://ak1.ostkcdn.com/images/products/bb/{pid}/0.jpg"],
-            "order_currency": p["currency"]}},
+        # dataLayer rides pageProps.meta (ref :46-47); live pages carry an
+        # empty zipCode string (the extractor maps '' -> None).
+        "meta": {"zipCode": "",
+                 "dataLayer": {
+                     "product_image_url": [
+                         f"https://ak1.ostkcdn.com/images/products/bb/{pid}/0.jpg"],
+                     "order_currency": p["currency"]}},
     }}}
     return (
         _chrome_head(p["name"], f'<link rel="canonical" href="{url}">')
@@ -1566,8 +1574,9 @@ def golden_envelope(idx: int) -> Optional[dict]:
     elif profile == "nextprops-detail":
         pid = int(p["product_id"])
         prefix = "https://ak1.ostkcdn.com/images/products/"  # ref :150
-        site = "https://www.bedbath.example.com"
+        site = "https://www.bedbathandbeyond.com"  # golden-pinned prefix
         hist = p["rating_hist"]
+        detail["listing_id"] = detail.pop("product_id")  # ref :66
         # list_price = comparePrice of defaultOptionId (=options[0])
         detail["list_price"] = round(p["list_price"], 2)
         tot = sum(hist.values())
@@ -1575,21 +1584,28 @@ def golden_envelope(idx: int) -> Optional[dict]:
         detail["rating"] = (wsum / tot) if tot else 0
         detail["total_ratings"] = tot
         detail["description"] = p["description"] + "\n"
+        detail["shipping_info"] = {"freeShippingBaseline": 50,
+                                   "freeShippingThreshold": 49.99,
+                                   "flatRate": round(pid % 10 + 0.99, 2)}
+        detail["delivery_zipcode"] = None  # '' on page -> None
+        detail["variant"] = {"option_id": 1000}  # ref :137 defaultOptionId
         detail["main_image"] = prefix + f"bb/{pid}/0.jpg"
         detail["images"] = [prefix + f"bb/{pid}/{k}.jpg"
                             for k in range(len(p["images"]))]
+        detail["labelled_images"] = None
         detail["categories"] = [
             {"name": c, "url": f"{site}/c/" + c.lower().replace(" ", "-")}
             for c in p["categories"]]
-        # variant-image equi-join (R2): option.oViewerImagesIds -> viewer.id
+        # variant-image equi-join (R2): option.oViewerImagesIds -> viewer.id;
+        # 'selector' present only when the join resolves (golden vintage).
         detail["variants"] = [
             {"option_id": 1000 + k, "description": f"{v['value']} option",
              "price": round(p["price"] + k, 2),
              "listing_price": round(p["list_price"] + k, 2),
              "in_stock": v["available"],
-             "selector": (prefix + f"bb/{pid}/{k}.jpg"
-                          if k < len(p["images"]) else None),
-             "url": None}
+             "url": None,
+             **({"selector": prefix + f"bb/{pid}/{k}.jpg"}
+                if k < len(p["images"]) else {})}
             for k, v in enumerate(p["variants"])
         ] or None
         detail["features"] = list(p["features"])
@@ -1615,6 +1631,15 @@ def golden_envelope(idx: int) -> Optional[dict]:
         detail["product_guides"] = (
             [{"text": "Assembly Guide", "url": f"{site}/guides/{pid}"}]
             if pid % 3 == 0 else None)
+        # Golden-vintage envelope: request url under 'product_url'
+        # (first-example.json; the current parser writes 'url'=htmlUrl).
+        return {
+            "success": True,
+            "product_url": url,
+            "result_count": 1,
+            "detail": detail,
+            "remaining_credits": None,
+        }
     elif profile == "inline-js-detail":
         pid = int(p["product_id"])
         detail["sku"] = f"SKU{p['product_id']}"

@@ -171,6 +171,61 @@ def test_tesco_real_page_extracts():
     assert d["images"] is None  # Apollo object is NOT a url list — never leak
 
 
+# -- bedbathbeyond: golden ↔ its two pairable committed pages, field-exact ---
+
+BBB_GOLD = f"{REF}/bedbathbeyond/first-example.json"
+BBB_PAGES = ["bedbathbeyond_detail_2024-12-19_14-50-32.html",
+             "bedbathbeyond_detail_2024-12-18_16-28-22.html"]
+# Two golden detail keys carry documented drift and are pinned by evidence
+# instead of equality (VERDICT r2 task 3 allows "documented unpairability
+# proof of the walmart_mustard_page_2 standard" per field):
+#  - description: CONTENT drift — the golden's 241-char text is a strict
+#    prefix of both committed pages' jsonLdDescription/description HTML
+#    (the product copy gained a third sentence between the golden's crawl
+#    and the page snapshots); no parser can emit the golden text from
+#    these pages. The prefix relation is asserted below as the proof.
+#  - review_aspects[*].verified_purchase: VINTAGE drift — the golden pins
+#    null for all 10 reviews while both pages carry
+#    badges.is_verified_buyer=true for all 10 (the reference's many
+#    '= None  # TODO' placeholders show the vintage pattern; the badge
+#    read was added later). All other aspect fields are asserted exact.
+
+
+@pytest.mark.parametrize("page", BBB_PAGES)
+def test_bedbathbeyond_real_page_matches_committed_golden(page):
+    gold = json.load(open(BBB_GOLD))
+    out = _run(f"{REF}/bedbathbeyond/{page}", gold["product_url"])
+    assert out["status"] == "ok" and out["profile"] == "nextprops-detail"
+    env = json.loads(out["envelope"])
+    for k in ("success", "product_url", "result_count"):
+        assert env[k] == gold[k], k
+    d, gd = env["detail"], gold["detail"]
+    for k in gd:
+        if k in ("description", "review_aspects"):
+            continue  # documented drift, pinned below
+        assert d.get(k) == gd[k], (k, str(d.get(k))[:200], str(gd[k])[:200])
+    # description: content-drift proof — golden is a strict prefix of the
+    # page's current copy, so ours must extend it, never diverge from it.
+    assert d["description"].startswith(gd["description"])
+    assert len(d["description"]) > len(gd["description"])
+    # review_aspects: every field exact except the vintage badge read.
+    assert len(d["review_aspects"]) == len(gd["review_aspects"]) == 10
+    for ra, rg in zip(d["review_aspects"], gd["review_aspects"]):
+        for k in rg:
+            if k == "verified_purchase":
+                assert rg[k] is None and ra[k] is True  # the drift itself
+            else:
+                assert ra[k] == rg[k], k
+
+
+def test_bedbathbeyond_golden_covers_all_fields():
+    gd = json.load(open(BBB_GOLD))["detail"]
+    assert {"name", "brand", "url", "listing_id", "price", "currency",
+            "rating", "total_ratings", "shipping_info", "variant",
+            "categories", "main_image", "images", "overview",
+            "details_table", "variants", "review_aspects"} <= set(gd)
+
+
 def test_bedbathbeyond_real_pages_extract():
     for name, url in [("123.html", "https://www.bedbathandbeyond.com/p/123"),
                       ("bedbathbeyond_detail_2024-12-18_13-40-11.html",
