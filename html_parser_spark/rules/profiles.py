@@ -1050,8 +1050,19 @@ def extract_webpack_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[di
     (tests/test_reference_fixtures.py)."""
     entry = C.webpack_entry_data(scripts)  # J5 re-keyed on marker
     pd = gj(entry, ["application", "props", "productData"])  # ref :51
+    wp_degraded = None
     if pd is None:
-        return None
+        # Ref :49-50: a json.loads failure only logs a warning and the
+        # parser "progress[es] with html content only" — the DOM selectors
+        # still run. Seen on the committed …12-53-17 snapshot, whose
+        # WEBPACK payload is truncated mid-JSON (9 unclosed braces, head
+        # HTML spliced inside the script element). Proceed DOM-only when
+        # the page is recognizably a HotDeals page; bail otherwise.
+        if S.select_one(dom, "a.HotDealsProductTitle") is None:
+            return None
+        pd = {}
+        wp_degraded = ("WEBPACK_ENTRY_DATA payload unparsable "
+                       "(truncated snapshot); DOM-only extraction")
     price_data = pd.get("price")
     # Name with 2+-whitespace collapse (T12, prev/parse_wayfair.py:68-69 —
     # exactly re.sub(r'\s{2,}', ' '), single newlines survive).
@@ -1151,6 +1162,7 @@ def extract_webpack_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[di
         "result_count": 1,
         "detail": detail,
         "remaining_credits": None,
+        **({"_degraded": wp_degraded} if wp_degraded else {}),
     }
 
 

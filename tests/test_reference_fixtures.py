@@ -253,7 +253,13 @@ def test_mercado_real_serp_extracts():
 
 def test_wayfair_real_detail_pages_extract():
     """The webpack carve must survive real pages' guarded spread-merge
-    re-assignments and the HotDeals DOM selectors must hit."""
+    re-assignments and the HotDeals DOM selectors must hit — on ALL six
+    committed detail pages (VERDICT r2 task 7). …12-53-17 is a truncated
+    snapshot (its WEBPACK payload stops mid-JSON, 9 unclosed braces, with
+    head HTML spliced inside the script element); the reference's bare
+    ``except`` (parse_wayfair.py:49-50) logs and proceeds DOM-only, so
+    our twin must land status='degraded' with full DOM fields, never
+    no_rule."""
     names = ["wayfair_detail_2024-12-08_12-51-54.html",
              "wayfair_detail_2024-12-08_12-53-05.html",
              "wayfair_detail_2024-12-08_12-53-17.html",
@@ -262,13 +268,13 @@ def test_wayfair_real_detail_pages_extract():
     n_full = 0
     for name in names:
         out = _run(f"{REF}/prev/{name}", "https://www.wayfair.com/p/1")
-        assert out["status"] in ("ok", "no_rule"), (name, out["error"])
-        if out["profile"] != "webpack-detail":
-            continue
+        assert out["profile"] == "webpack-detail", (name, out["profile"])
+        expected = ("degraded" if "12-53-17" in name else "ok")
+        assert out["status"] == expected, (name, out["status"], out["error"])
         d = json.loads(out["envelope"])["detail"]
         if d["name"] and d["price"] and d["sku_id"] and d["brand"]:
             n_full += 1
-    assert n_full >= 4, n_full
+    assert n_full == 6, n_full
 
 
 def test_wayfair_real_category_page_extracts():
