@@ -63,7 +63,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = P.synthesize_pages(spark, _n_pages(sf_dir))
+    """Full extraction pipeline with its content surface hash-checked:
+    name/brand/price ride md5(idx) arithmetic in the renderer
+    (sources/synth.py payload_for), so the DuckDB twin replays every
+    value — HTML is rendered, tokenized, dispatched, and field-extracted
+    on the Spark side; the oracle recomputes the expected output from
+    the generator's arithmetic (VERDICT r2 task 6)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = max(200, min(docs.count() * 4, 20000))
+    pages = P.synthesize_pages(spark, n)
     return (P.extract_pages(pages)
             .select("url", "profile", "status", "name", "brand", "price")
             .orderBy("url"))
@@ -419,6 +427,18 @@ _PAIR_COSINE = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
 # The synth corpus' profile round-robin, shared verbatim with the generator
 # (sources/synth.py:49) so the extract_metrics oracle mirrors profile_for.
 _PROFILE_ARRAY = "[" + ", ".join(f"'{p}'" for p in _SYNTH_PROFILES) + "]"
+# Content-surface twins (synth.payload_for): name/brand/price are md5(idx)
+# draws — `_h(idx, tag, mod)` = int(md5(f"42:{idx}:{tag}")[:8], 16) % mod —
+# replayed here digit-for-digit.
+_ADJ_ARRAY = "[" + ", ".join(f"'{a}'" for a in _synth._ADJ) + "]"
+_NOUN_ARRAY = "[" + ", ".join(f"'{n}'" for n in _synth._NOUN) + "]"
+_BRAND_ARRAY = "[" + ", ".join(f"'{b}'" for b in _synth._BRANDS) + "]"
+
+
+def _h_sql(tag: str, mod: int) -> str:
+    """DuckDB twin of synth._h(i, tag, mod)."""
+    return (f"(('0x' || substring(md5('{_synth.SEED}:' || i || ':{tag}'), "
+            f"1, 8))::BIGINT % {mod})")
 # Parallel site/category constants for the url_for twin (sources/synth.py).
 _SITE_ARRAY = "[" + ", ".join(
     f"'{_synth._SITES[p]}'" for p in _SYNTH_PROFILES) + "]"
@@ -482,6 +502,57 @@ def oracle_sql() -> dict[str, str]:
               FROM idx)
             SELECT profile, status, COUNT(*) AS n_docs
             FROM assigned GROUP BY profile, status
+        """,
+        "extract_pages": f"""
+            -- Full content-surface replay: url/profile/status as in
+            -- extract_dispatch, plus name/brand/price recomputed from the
+            -- generator's md5(idx) arithmetic (synth.payload_for). The 9
+            -- *-detail profiles surface the payload values; SERP/pdf/error
+            -- rows carry NULLs (envelope has no detail dict).
+            WITH n AS (SELECT GREATEST(200, LEAST(COUNT(*) * 4, 20000))
+                           AS n_pages FROM documents),
+            idx AS (SELECT UNNEST(range(0, n_pages)) AS i FROM n),
+            base AS (
+              SELECT i,
+                     CASE WHEN i % 50 = 48 THEN 'pdf'
+                          WHEN i % 50 = 49 THEN 'error'
+                          ELSE ({_PROFILE_ARRAY})[CAST(i % 13 AS INT) + 1]
+                     END AS gen_profile
+              FROM idx)
+            SELECT
+              CASE WHEN gen_profile = 'pdf'
+                     THEN 'https://files.example.com/docs/report-'
+                          || i || '.pdf'
+                   WHEN gen_profile = 'error'
+                     THEN 'https://blocked.example.com/item/' || i
+                   WHEN gen_profile = 'escaped-component-detail'
+                     THEN 'https://www.bestbuyer.example.com/site/item-'
+                          || (100000 + i) || '/' || (100000 + i)
+                          || '.p?skuId=' || (100000 + i)
+                   ELSE 'https://www.'
+                        || ({_SITE_ARRAY})[CAST(i % 13 AS INT) + 1]
+                        || '.example.com/'
+                        || ({_CAT_ARRAY})[CAST(i % 7 AS INT) + 1]
+                        || '/item-' || (100000 + i) || '/' || (100000 + i)
+              END AS url,
+              CASE WHEN gen_profile = 'error' THEN NULL
+                   ELSE gen_profile END AS profile,
+              CASE WHEN gen_profile = 'error' THEN 'no_rule'
+                   ELSE 'ok' END AS status,
+              CASE WHEN gen_profile LIKE '%-detail'
+                   THEN ({_ADJ_ARRAY})[{_h_sql("adj", len(_synth._ADJ))} + 1]
+                        || ' ' ||
+                        ({_NOUN_ARRAY})[{_h_sql("noun", len(_synth._NOUN))} + 1]
+                        || ' ' || (100 + {_h_sql("num", 900)})
+              END AS name,
+              CASE WHEN gen_profile LIKE '%-detail'
+                   THEN ({_BRAND_ARRAY})[{_h_sql("brand",
+                                                 len(_synth._BRANDS))} + 1]
+              END AS brand,
+              CASE WHEN gen_profile LIKE '%-detail'
+                   THEN (499 + {_h_sql("price", 129501)}) / 100.0
+              END AS price
+            FROM base
         """,
         "extract_dispatch": f"""
             -- url/profile/status replayed from the page index: url_for /

@@ -87,6 +87,17 @@ def _rng(idx: int) -> random.Random:
     return random.Random(f"{SEED}:{idx}")
 
 
+def _h(idx: int, tag: str, mod: int) -> int:
+    """Deterministic draw in [0, mod) from md5 — SQL-replayable, unlike
+    random.Random: DuckDB recomputes it as
+    ``('0x' || substring(md5('{SEED}:' || i || ':tag'), 1, 8))::BIGINT
+    % mod``, which lets the driver's extract_pages oracle replay the
+    content surface (name/brand/price) value-exactly."""
+    import hashlib
+    return int(hashlib.md5(
+        f"{SEED}:{idx}:{tag}".encode()).hexdigest()[:8], 16) % mod
+
+
 def profile_for(idx: int) -> str:
     """Profile assignment incl. the pdf / error special rows.
 
@@ -110,10 +121,15 @@ def payload_for(idx: int) -> dict:
     """Canonical product payload — the single source of truth per page."""
     r = _rng(idx)
     pid = 100000 + idx
-    name = f"{r.choice(_ADJ)} {r.choice(_NOUN)} {r.randint(100, 999)}"
-    brand = r.choice(_BRANDS)
-    price_cents = r.randint(499, 129999)
-    list_cents = price_cents + r.randint(0, 40000)
+    # name/brand/price ride md5(idx) arithmetic (not the RNG) so the
+    # driver's extract_pages DuckDB oracle can replay them (VERDICT r2
+    # task 6); the long-tail fields below stay on the seeded RNG.
+    name = (f"{_ADJ[_h(idx, 'adj', len(_ADJ))]} "
+            f"{_NOUN[_h(idx, 'noun', len(_NOUN))]} "
+            f"{100 + _h(idx, 'num', 900)}")
+    brand = _BRANDS[_h(idx, "brand", len(_BRANDS))]
+    price_cents = 499 + _h(idx, "price", 129501)
+    list_cents = price_cents + _h(idx, "list", 40001)
     rating_milli = r.randint(1000, 5000)
     total_ratings = r.randint(0, 4000)
     total_reviews = r.randint(0, total_ratings) if total_ratings else 0
