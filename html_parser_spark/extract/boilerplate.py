@@ -166,6 +166,37 @@ def text_and_scored(dom: FlatDOM) -> tuple[str, list[tuple[str, int, int, bool]]
             buf_link = 0
             buf_boiler = False
 
+    # Both buffers receive identical text pieces; they diverge only when a
+    # boundary flushes the scored side alone (excluded block). While they
+    # are byte-identical (`same`), a joint flush collapses ONCE and feeds
+    # both outputs — on content-heavy pages this halves the collapse work.
+    # Equivalence to the two single-purpose walks stays pinned by
+    # tests/test_extract.py (incl. hypothesis fuzz).
+    same = True
+
+    def flush_pair(do_t: bool) -> None:
+        nonlocal same, buf_link, buf_boiler
+        if do_t and same:
+            if buf_s:
+                line = _collapse("".join(buf_s))
+                del buf_s[:]
+                del buf_t[:]
+                if line:
+                    s_lines.append((line, len(line),
+                                    min(buf_link, len(line)), buf_boiler))
+                    t_lines.append(line)
+                buf_link = 0
+                buf_boiler = False
+            return
+        if buf_s:
+            flush_s()
+        if do_t:
+            if buf_t:
+                flush_t()
+            same = True
+        else:
+            same = not buf_t
+
     for i in range(1, n):
         d = depth[i]
         while stack and stack[-1][0] >= d:
@@ -174,10 +205,8 @@ def text_and_scored(dom: FlatDOM) -> tuple[str, list[tuple[str, int, int, bool]]
             in_boiler -= d_boiler
             if was_excl:
                 excluded -= 1
-            if was_block:
-                buf_s and flush_s()
-                if not was_excl and not excluded:
-                    buf_t and flush_t()
+            if was_block and (buf_s or buf_t):
+                flush_pair(not was_excl and not excluded)
         t = tags[i]
         if t == TEXT:
             if not excluded:
@@ -193,16 +222,12 @@ def text_and_scored(dom: FlatDOM) -> tuple[str, list[tuple[str, int, int, bool]]
         elif t == COMMENT:
             continue
         elif t == "br":
-            buf_s and flush_s()
-            if not excluded:
-                buf_t and flush_t()
+            (buf_s or buf_t) and flush_pair(not excluded)
         else:
             is_excl = t in EXCLUDED_TAGS
             is_block = t in BLOCK_TAGS
-            if is_block:
-                buf_s and flush_s()
-                if not is_excl and not excluded:
-                    buf_t and flush_t()
+            if is_block and (buf_s or buf_t):
+                flush_pair(not is_excl and not excluded)
             d_a = 1 if t == "a" else 0
             d_boiler = 1 if t in _BOILER_CONTAINERS else 0
             in_a += d_a
@@ -216,12 +241,9 @@ def text_and_scored(dom: FlatDOM) -> tuple[str, list[tuple[str, int, int, bool]]
         in_boiler -= d_boiler
         if was_excl:
             excluded -= 1
-        if was_block:
-            buf_s and flush_s()
-            if not was_excl and not excluded:
-                buf_t and flush_t()
-    buf_s and flush_s()
-    buf_t and flush_t()
+        if was_block and (buf_s or buf_t):
+            flush_pair(not was_excl and not excluded)
+    (buf_s or buf_t) and flush_pair(True)
     return "\n".join(t_lines), s_lines
 
 

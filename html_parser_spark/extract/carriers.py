@@ -38,16 +38,23 @@ __all__ = [
 
 
 def collect_scripts(dom: FlatDOM) -> list[tuple[str, dict]]:
-    """All <script> (text, attrs) in document order — gathered once per doc."""
+    """All <script> (text, attrs) in document order — gathered once per doc.
+
+    Script ids are recorded by the tokenizer (``dom.script_ids``), so this
+    never scans the node array or forces the lazy children index. A script
+    element's rawtext payload, when present, is always the single TEXT node
+    appended immediately after it (tokenize's rawtext branch), so the text
+    lookup is O(1) per script."""
     out: list[tuple[str, dict]] = []
     tags = dom.tags
-    for i in range(1, len(dom)):
-        if tags[i] == "script":
-            kids = dom.children(i)
-            text = "".join(
-                dom.texts[k] or "" for k in kids if tags[k] == TEXT
-            )
-            out.append((text, dom.attrs_of(i) or {}))
+    texts = dom.texts
+    parent = dom.parent
+    n = len(tags)
+    for i in dom.script_ids:
+        j = i + 1
+        text = (texts[j] or "") if (
+            j < n and parent[j] == i and tags[j] == TEXT) else ""
+        out.append((text, dom.attrs_of(i) or {}))
     return out
 
 
@@ -142,6 +149,8 @@ def webpack_entry_data(scripts: list) -> Any:
     best = None
     best_len = -1
     for text, _attrs in scripts:
+        if "WEBPACK_ENTRY_DATA" not in text:
+            continue  # str.find prefilter: the regex scan is ~10× costlier
         for m in _WEBPACK_RE.finditer(text):
             blob = carve_balanced(text, m.end())
             if blob is None or len(blob) <= best_len:

@@ -22,6 +22,7 @@ candidate mask over the flat arrays, then verifies ancestor chains with the
 from __future__ import annotations
 
 import re
+from bisect import bisect_left
 from functools import lru_cache
 from typing import Optional
 
@@ -193,6 +194,26 @@ def _match_up(dom: FlatDOM, node: int, chain: list, k: int) -> bool:
     return False
 
 
+def _tag_ids(dom: FlatDOM, tag: str):
+    """Element ids carrying ``tag``, doc order — lazy per-dom index built
+    in one pass on first use; every later tag-anchored select is
+    O(candidates) instead of O(nodes)."""
+    ti = dom._tag_index
+    if ti is None:
+        ti = {}
+        tags = dom.tags
+        for i in range(1, len(tags)):
+            t = tags[i]
+            if t[0] != "#":
+                lst = ti.get(t)
+                if lst is None:
+                    ti[t] = [i]
+                else:
+                    lst.append(i)
+        dom._tag_index = ti
+    return ti.get(tag, ())
+
+
 def select(dom: FlatDOM, selector: str, limit: int = 0,
            root: Optional[int] = None) -> list[int]:
     """All matching element node ids in document order. ``root`` restricts
@@ -211,12 +232,20 @@ def select(dom: FlatDOM, selector: str, limit: int = 0,
             hi += 1
     for chain in comp.chains:
         last = chain[-1][0]
-        # Vectorized-ish pre-filter on tag name when present.
+        if last.tag is not None:
+            # Tag-anchored: walk only this tag's ids (bisected to the
+            # subtree span when rooted).
+            ids = _tag_ids(dom, last.tag)
+            if root is not None:
+                ids = ids[bisect_left(ids, lo):bisect_left(ids, hi)]
+            for i in ids:
+                if last.matches(dom, i) and _match_chain(dom, i, chain):
+                    out.append(i)
+                    if limit and len(out) >= limit and len(comp.chains) == 1:
+                        return out
+            continue
         for i in range(lo, hi):
-            t = tags[i]
-            if t[0] == "#":  # text/comment
-                continue
-            if last.tag is not None and t != last.tag:
+            if tags[i][0] == "#":  # text/comment
                 continue
             if last.matches(dom, i) and _match_chain(dom, i, chain):
                 out.append(i)

@@ -96,8 +96,8 @@ class FlatDOM:
     ``depth_arr``) back the vectorized selector / boilerplate kernels.
     """
 
-    __slots__ = ("tags", "parent", "depth", "attrs", "texts", "_parent_arr",
-                 "_depth_arr", "_children")
+    __slots__ = ("tags", "parent", "depth", "attrs", "texts", "script_ids",
+                 "_parent_arr", "_depth_arr", "_children", "_tag_index")
 
     def __init__(self) -> None:
         self.tags: list[str] = ["#root"]
@@ -105,9 +105,15 @@ class FlatDOM:
         self.depth: list[int] = [0]
         self.attrs: list[Optional[dict]] = [None]
         self.texts: list[Optional[str]] = [None]
+        # <script> element ids recorded during tokenization so carrier
+        # dispatch (collect_scripts) never re-scans the whole node array.
+        self.script_ids: list[int] = []
         self._parent_arr: Optional[np.ndarray] = None
         self._depth_arr: Optional[np.ndarray] = None
         self._children: Optional[list[list[int]]] = None
+        # tag -> element ids (doc order), built lazily on first select();
+        # turns each selector scan from O(nodes) into O(candidates).
+        self._tag_index: Optional[dict] = None
 
     # -- construction ------------------------------------------------------
     def _add(self, tag: str, parent: int, depth: int,
@@ -254,7 +260,7 @@ def tokenize(html: str) -> FlatDOM:
             texts_app(unesc(raw) if "&" in raw else raw)
             node_count += 1
             break
-        start = m.start()
+        start, end = m.span()
         if start > pos:
             raw = html[pos:start]
             tags_app(TEXT)
@@ -263,16 +269,26 @@ def tokenize(html: str) -> FlatDOM:
             attrs_app(None)
             texts_app(unesc(raw) if "&" in raw else raw)
             node_count += 1
-        pos = m.end()
+        pos = end
 
-        open_tag = m.group("open")
-        if open_tag is not None:
+        # Branch on lastindex — one C call replaces up to five named
+        # m.group() probes per token (groups: 1 comment, 2 cdata, 3 decl,
+        # 4 pi, 5 close; 8 = selfclose, which always participates for an
+        # open tag, so lastindex==8 <=> open).
+        li = m.lastindex
+        if li == 8:
+            open_tag, raw_attrs, selfclose = m.group(6, 7, 8)
             tag = open_tag if open_tag.islower() else open_tag.lower()
             if tag in _IMPLIED_TRIGGERS and len(stack) > 1:
-                _implied_closes(stack, tag)
+                # _implied_closes inlined (hot: fires on every p/div/li/…).
+                closers = _SIBLING_CLOSERS.get(tag)
+                if closers:
+                    while len(stack) > 1 and stack[-1][1] in closers:
+                        stack.pop()
+                elif stack[-1][1] == "p":  # tag is in _P_CLOSERS
+                    stack.pop()
                 top = stack[-1]
             pdepth = top[2]
-            raw_attrs = m.group("attrs")
             tags_app(tag)
             parent_app(top[0])
             depth_app(pdepth + 1)
@@ -280,7 +296,9 @@ def tokenize(html: str) -> FlatDOM:
             texts_app(None)
             node = node_count
             node_count += 1
-            if not (m.group("selfclose") or tag in VOID_ELEMENTS):
+            if tag == "script":
+                dom.script_ids.append(node)
+            if not (selfclose or tag in VOID_ELEMENTS):
                 if tag in RAWTEXT_ELEMENTS:
                     # Raw text: skip to the matching close tag with str.find.
                     idx = _find_ci(html, "</" + tag, pos)
@@ -306,8 +324,8 @@ def tokenize(html: str) -> FlatDOM:
                     stack.append(top)
             continue
 
-        close_tag = m.group("close")
-        if close_tag is not None:
+        if li == 5:
+            close_tag = m.group(5)
             tag = close_tag if close_tag.islower() else close_tag.lower()
             # Pop to the matching open tag; ignore unmatched closes.
             for k in range(len(stack) - 1, 0, -1):
@@ -317,13 +335,12 @@ def tokenize(html: str) -> FlatDOM:
                     break
             continue
 
-        comment = m.group("comment")
-        if comment is not None:
+        if li == 1:
             tags_app(COMMENT)
             parent_app(top[0])
             depth_app(top[2] + 1)
             attrs_app(None)
-            texts_app(comment)
+            texts_app(m.group(1))
             node_count += 1
             continue
 

@@ -100,6 +100,19 @@ def test_simhash_pairs_rejects_wide_radius(docs):
         dedup.simhash_pairs(docs, max_hamming=4)
 
 
+def test_simhash64_table_equals_column_form(spark, docs):
+    """The codegen-friendly explode+SUM shape must be value-identical to
+    the HOF Column form — including the empty-doc all-bits case."""
+    withempty = docs.union(spark.createDataFrame([(9, "")],
+                                                 ["doc_id", "text"]))
+    a = {r.doc_id: r.sig for r in withempty.select(
+        "doc_id", dedup.simhash64("text").alias("sig")).collect()}
+    b = {r.doc_id: r.sig for r in
+         dedup.simhash64_table(withempty).collect()}
+    assert a == b
+    assert a[9] == -1  # no tokens -> every vote 0*2 >= 0 -> all 64 bits
+
+
 def test_jaccard_pairs_values(docs):
     rows = {(r.doc_a, r.doc_b): r.jaccard
             for r in dedup.jaccard_pairs(docs, max_df=10).collect()}
