@@ -54,6 +54,41 @@ def _session(cores: int):
     )
 
 
+# Pinned idle-box single-thread kernel rate (docs/s) for the in-JSON
+# contention control — re-pin when the kernel or corpus renderer changes
+# (VERDICT r2 task 1; measured best-of-3 on 200 filler-30 pages).
+CONTROL_REF = float(os.environ.get("BENCH_CONTROL_REF", "310"))
+
+
+def single_thread_control(n: int = 200) -> float:
+    """Spark-free single-thread extraction rate on freshly rendered pages.
+
+    The same kernel the Spark UDF runs, no JVM, no IPC — its rate moves
+    only with host/VM contention, so a suite number recorded while this
+    control deviates from its pinned idle-box value is flagged in-JSON
+    instead of needing a judged re-run (BENCH_r02 post-mortem: the driver
+    artifact understated the engine 2.6× and only an idle-box re-run could
+    defend it)."""
+    from html_parser_spark.job.pipeline import _extract_one
+    from html_parser_spark.sources import synth
+    pages = [(synth.url_for(i), synth.render_page(i, filler=FILLER))
+             for i in range(n)]
+    for u, h in pages[:20]:
+        _extract_one(u, h)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for u, h in pages:
+            _extract_one(u, h)
+        best = min(best, time.perf_counter() - t0)
+    return round(n / best, 1)
+
+
+def F_sum_length():
+    from pyspark.sql import functions as F
+    return F.sum(F.length("html"))
+
+
 def _timed(df_factory, repeats: int = 2) -> float:
     df_factory().count()                       # warm: JIT + python workers
     best = float("inf")
@@ -182,6 +217,11 @@ def main() -> None:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _child(["--ensure-corpus"])
 
+    # Contention control BEFORE any JVM exists: pure-Python kernel rate on
+    # the idle process, compared against the pinned idle-box reference.
+    control = single_thread_control()
+    control_ratio = round(control / CONTROL_REF, 3)
+
     # Scaling levels BEFORE the parent JVM exists (see _run_scaling_levels).
     scaling_result = _run_scaling_levels() if scaling else None
 
@@ -189,9 +229,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries: dict[str, float] = {}
 
-    ext_dt, n_ok = run_extract(spark, path)
+    # Headline extraction: one warm pass then best-of-3 FULL passes — the
+    # contention-robust estimator (min; GC/host noise only slows runs).
+    ext_dt, n_ok = run_extract(spark, path, repeats=3)
     queries["extract_pipeline"] = round(ext_dt, 3)
     docs_per_sec = round(N_PAGES / ext_dt, 1)
+    # Bytes-normalized throughput: page size grows whenever the renderer
+    # gains fidelity (round-2/3 parity payloads), so docs/s alone is not
+    # comparable across rounds; MB/s is.
+    corpus_bytes = int(
+        spark.read.parquet(path)
+        .select(F_sum_length()).collect()[0][0])
+    mb_per_sec = round(corpus_bytes / 1e6 / ext_dt, 1)
 
     # Every registered query except the two extraction-corpus ones (the
     # headline extract_pipeline above already covers that path at bench
@@ -216,6 +265,16 @@ def main() -> None:
         "filler_blocks": FILLER,
         "cores": CPUS,
         "ok_rate": round(n_ok / N_PAGES, 4),
+        "corpus_bytes": corpus_bytes,
+        "mb_per_sec": mb_per_sec,
+        # Contention evidence (see single_thread_control): the Spark-free
+        # kernel rate at record time vs the pinned idle-box reference.
+        # |ratio - 1| > 0.2 flags the artifact as contention-skewed —
+        # interpret docs_per_sec relative to the control, not at face value.
+        "control_docs_per_sec": control,
+        "control_ref": CONTROL_REF,
+        "control_ratio": control_ratio,
+        "contention_flag": abs(control_ratio - 1.0) > 0.2,
     }
 
     if scaling_result is not None:

@@ -7,7 +7,8 @@ codec layer is swappable:
 - ``_decode_real``: PIL / soundfile / ffmpeg path — **stubbed**: those libs
   are not in this container, so it raises ``NotImplementedError`` with a
   clear marker. At 100 TB this is where a vectorized decoder goes; nothing
-  else changes.
+  else changes. One real, dependency-free branch exists so the sandbox can
+  test an actual codec: uncompressed 24-bit BMP (``_decode_bmp``).
 - ``_decode_fake``: deterministic byte-level features (length, header,
   checksum) — exercised by tests and by the driver's DuckDB oracle, since
   the fake payloads are md5-hex bytes reproducible in SQL.
@@ -29,7 +30,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["MEDIA_FEATURES_SCHEMA", "extract_media_features",
-           "decode_image", "sample_video_frames"]
+           "decode_image", "encode_bmp", "sample_video_frames"]
 
 MEDIA_FEATURES_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -42,15 +43,73 @@ MEDIA_FEATURES_SCHEMA = StructType([
 ])
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode — STUB: PIL/libjpeg are not in this container.
+def decode_image(payload: bytes) -> dict:
+    """Image decode. One REAL branch the sandbox can test — uncompressed
+    24-bit BMP, decoded in pure Python (fixed public format: BITMAPFILE-
+    HEADER + BITMAPINFOHEADER, little-endian, BGR rows bottom-up with
+    4-byte padding) — all other formats stay stubbed: PIL/libjpeg are not
+    in this container; swap in ``PIL.Image.open(BytesIO(payload))`` on a
+    cluster image that ships codecs.
 
-    Marked per the build contract; swap in `PIL.Image.open(BytesIO(payload))`
-    on a cluster image that ships codecs.
+    Returns {"width", "height", "mode": "RGB", "pixels"} with pixels as a
+    top-down list of rows of (r, g, b) tuples.
     """
+    raw = bytes(payload)
+    if raw[:2] == b"BM":
+        return _decode_bmp(raw)
     raise NotImplementedError(
-        "real image decode requires PIL/libjpeg (not in this sandbox); "
-        "use the deterministic byte-feature path instead")
+        "real non-BMP image decode requires PIL/libjpeg (not in this "
+        "sandbox); use the deterministic byte-feature path instead")
+
+
+def _decode_bmp(raw: bytes) -> dict:
+    import struct
+    if len(raw) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", raw, 10)[0]
+    width, height = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if compression != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if data_off + row_size * height > len(raw):
+        raise ValueError("truncated BMP pixel data")
+    rows = []
+    for r in range(height):
+        src = r if top_down else height - 1 - r
+        base = data_off + src * row_size
+        row = [(raw[base + 3 * c + 2], raw[base + 3 * c + 1],
+                raw[base + 3 * c]) for c in range(width)]  # BGR -> RGB
+        rows.append(row)
+    return {"width": width, "height": height, "mode": "RGB",
+            "pixels": rows}
+
+
+def encode_bmp(pixels: list) -> bytes:
+    """Inverse of :func:`_decode_bmp` for tests/tools: top-down RGB rows →
+    uncompressed 24-bit bottom-up BMP bytes."""
+    import struct
+    height = len(pixels)
+    width = len(pixels[0]) if height else 0
+    row_size = (width * 3 + 3) & ~3
+    data = bytearray()
+    for row in reversed(pixels):
+        line = bytearray()
+        for (r, g, b) in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (row_size - len(line))
+        data += line
+    pix_off = 14 + 40
+    file_size = pix_off + len(data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pix_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(data), 2835, 2835, 0, 0)
+    return bytes(header + dib + data)
 
 
 def sample_video_frames(payload: bytes, every_ms: int = 1000) -> "object":

@@ -22,14 +22,15 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Iterable, Iterator, Optional
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    BinaryType, DoubleType, IntegerType, StringType, StructField, StructType,
-    TimestampType,
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType, TimestampType,
 )
 
 __all__ = [
@@ -61,6 +62,10 @@ EXTRACT_SCHEMA = StructType([
     StructField("main_text", StringType()),
     StructField("n_nodes", IntegerType()),
     StructField("error", StringType()),
+    # Wall time inside _extract_one, microseconds — feeds the per-profile
+    # cost column in metrics_from_extracted so a throughput regression can
+    # be attributed to the profile that bought it (VERDICT r2 task 2).
+    StructField("elapsed_us", LongType()),
 ])
 
 
@@ -106,6 +111,13 @@ def synthesize_pages(spark: SparkSession, n: int,
 # -- the extraction operator -------------------------------------------------
 
 def _extract_one(url: str, html_bytes: Optional[bytes]) -> dict:
+    t0 = time.perf_counter()
+    out = _extract_one_inner(url, html_bytes)
+    out["elapsed_us"] = int((time.perf_counter() - t0) * 1e6)
+    return out
+
+
+def _extract_one_inner(url: str, html_bytes: Optional[bytes]) -> dict:
     from ..extract import boilerplate, pdfkit
     from ..extract.carriers import collect_scripts
     from ..htmlkit.tokenizer import tokenize
@@ -218,6 +230,8 @@ def extract_batch_arrow(batches: "Iterator[pa.RecordBatch]"):
         names.append("n_nodes")
         arrays.append(pa.array([r["error"] for r in recs], pa.string()))
         names.append("error")
+        arrays.append(pa.array([r["elapsed_us"] for r in recs], pa.int64()))
+        names.append("elapsed_us")
         yield pa.RecordBatch.from_arrays(arrays, names)
 
 
@@ -267,6 +281,10 @@ def metrics_from_extracted(extracted: DataFrame) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum(F.length("text")).alias("text_chars"),
             F.sum("n_nodes").alias("nodes"),
+            # Per-profile extraction cost: where the wall time actually
+            # goes, so a docs/s regression is attributable per profile.
+            F.sum("elapsed_us").alias("wall_us"),
+            (F.sum("elapsed_us") / F.count("*")).alias("us_per_doc"),
             F.min("warc_ts").alias("min_ts"),
             F.max("warc_ts").alias("max_ts"),
         )

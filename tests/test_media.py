@@ -66,3 +66,38 @@ def test_null_payload_safe(spark):
         [(1, "image", None, ("png", 16, 16, 0))], schema)
     row = mediaops.extract_media_features(df).collect()[0]
     assert row.n_bytes == 0 and row.header == ""
+
+
+def test_bmp_decode_real_codec_roundtrip():
+    """decode_image has one REAL branch the sandbox can exercise:
+    uncompressed 24-bit BMP (VERDICT r2 task 8). Round-trip a generated
+    image incl. a non-multiple-of-4 row width (padding path) and a
+    top-down (negative height) variant."""
+    from html_parser_spark.functions.mediaops import (
+        decode_image, encode_bmp)
+    pixels = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+              [(1, 2, 3), (4, 5, 6), (7, 8, 9)]]  # 3x2: row pad = 3 bytes
+    raw = encode_bmp(pixels)
+    img = decode_image(raw)
+    assert (img["width"], img["height"], img["mode"]) == (3, 2, "RGB")
+    assert img["pixels"] == [[tuple(p) for p in row] for row in pixels]
+    # top-down variant: negate height, rows stored in display order
+    import struct
+    neg = bytearray(raw)
+    struct.pack_into("<i", neg, 22, -2)
+    flipped = encode_bmp(pixels[::-1])  # bottom-up of reversed == same data
+    img2 = decode_image(bytes(bytearray(flipped[:22]) + neg[22:26]
+                              + bytearray(flipped[26:])))
+    assert img2["pixels"] == img["pixels"]
+
+
+def test_bmp_decode_rejects_other_formats_and_truncation():
+    from html_parser_spark.functions.mediaops import decode_image, encode_bmp
+    import pytest
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"0" * 64)
+    with pytest.raises(ValueError):
+        decode_image(b"BM" + b"\x00" * 10)           # truncated header
+    raw = encode_bmp([[(1, 2, 3)] * 4] * 4)
+    with pytest.raises(ValueError):
+        decode_image(raw[:-8])                        # truncated pixels
