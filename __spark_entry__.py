@@ -24,7 +24,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from html_parser_spark.functions import dedup, mediaops, textops, vecops
+from html_parser_spark.functions import (
+    dedup, eventops, mediaops, textops, vecops)
 from html_parser_spark.job import pipeline as P
 from html_parser_spark.sources.media import media_from_documents
 from html_parser_spark.sources import synth as _synth
@@ -282,6 +283,21 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, max_hamming=3)
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.repetition_signals(docs)
+
+
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return eventops.sessionize_events(ev)
+
+
+def _q_windowed_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return eventops.windowed_type_counts(ev)
+
+
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(docs)
@@ -358,6 +374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "token_stats": _q_token_stats,
         "winnow_fingerprint": _q_winnow_fingerprint,
+        "repetition_signals": _q_repetition_signals,
+        "sessionize_events": _q_sessionize_events,
+        "windowed_type_counts": _q_windowed_type_counts,
         "langid": _q_langid,
         "quality_score": _q_quality,
         "shingle_count": _q_shingles,
@@ -693,6 +712,73 @@ def oracle_sql() -> dict[str, str]:
                        range(1, GREATEST(len(hs) - 3, 0) + 1),
                        w -> list_min(hs[w : w + 3])))), ',') AS fingerprint
             FROM hp
+        """,
+        "repetition_signals": r"""
+            -- textops.repetition_signals twin (Gopher-style filters):
+            -- n-gram repeat fractions + most-frequent-token share.
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text), '\w+') AS toks
+                         FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2 THEN list_transform(
+                         range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END AS g2,
+                     CASE WHEN len(toks) >= 3 THEN list_transform(
+                         range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' '
+                              || toks[i + 2])
+                     ELSE [] END AS g3
+              FROM tok),
+            fracs AS (
+              SELECT doc_id,
+                     CASE WHEN len(g2) > 0 THEN ROUND(
+                         1 - len(list_distinct(g2))::DOUBLE / len(g2), 6)
+                     ELSE 0.0 END AS rep_2gram_frac,
+                     CASE WHEN len(g3) > 0 THEN ROUND(
+                         1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
+                     ELSE 0.0 END AS rep_3gram_frac
+              FROM grams),
+            tcounts AS (
+              SELECT doc_id, t, COUNT(*) AS c
+              FROM (SELECT doc_id, UNNEST(toks) AS t FROM tok)
+              GROUP BY doc_id, t),
+            top AS (
+              SELECT doc_id,
+                     ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_token_frac
+              FROM tcounts GROUP BY doc_id)
+            SELECT f.doc_id, f.rep_2gram_frac, f.rep_3gram_frac,
+                   COALESCE(t.top_token_frac, 0.0) AS top_token_frac
+            FROM fracs f LEFT JOIN top t USING (doc_id)
+        """,
+        "sessionize_events": """
+            -- eventops.sessionize_events twin: lag-over-user marks gaps
+            -- > 30 min, running sum numbers sessions, one agg per session.
+            -- Integer-microsecond epoch math on both engines (unix_micros
+            -- / epoch_us); event_id breaks ordering ties identically.
+            WITH marked AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                               > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            numbered AS (
+              SELECT user_id, ts, value,
+                     SUM(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS session_no
+              FROM marked)
+            SELECT user_id, session_no, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts
+            FROM numbered GROUP BY user_id, session_no
+        """,
+        "windowed_type_counts": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "langid": f"""
             SELECT doc_id, {_langid_sql()} AS lang_detected

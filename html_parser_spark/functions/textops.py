@@ -12,7 +12,7 @@ from pyspark.sql import Column, functions as F
 __all__ = [
     "token_count", "ws_token_count", "bpe_token_count", "word_hits",
     "langid", "quality_score", "char_shingles", "doc_fingerprint",
-    "position_hashes", "winnow_fingerprint",
+    "position_hashes", "winnow_fingerprint", "repetition_signals",
     "EN_STOPWORDS", "ES_STOPWORDS", "LANG_STOPWORDS",
 ]
 
@@ -169,3 +169,52 @@ def winnow_fingerprint(docs, id_col: str = "doc_id", text_col: str = "text",
                     F.coalesce("fingerprint",
                                F.array().cast("array<bigint>"))
                     .alias("fingerprint")))
+
+
+def repetition_signals(docs: "DataFrame", id_col: str = "doc_id",
+                       text_col: str = "text") -> "DataFrame":
+    """Gopher-style within-document repetition quality signals
+    (Rae et al. 2021 §A1.1 "repetitious text" filters — public method):
+
+    - ``rep_2gram_frac`` / ``rep_3gram_frac``: fraction of n-gram
+      OCCURRENCES that are repeats of an earlier occurrence,
+      ``1 − distinct/total`` (0.0 when the doc has < n tokens);
+    - ``top_token_frac``: share of all tokens taken by the single most
+      frequent token.
+
+    Plan shape (100 TB): the n-gram fractions are per-row HOF expressions
+    (transform + array_distinct over the doc's own tokens — map-only, no
+    shuffle); ``top_token_frac`` is explode → two-level groupBy — both
+    aggregations shuffle on doc-sized keys with map-side combine, never
+    corpus-wide ones. Exact DuckDB twin in ``__spark_entry__.oracle_sql``.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit(_TOKEN_PATTERN), F.lit(0))
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+
+    def gram_frac(n: int) -> Column:
+        grams = F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(" ", *[
+                    F.element_at(F.col("toks"), i + k) for k in range(n)])),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.when(
+            F.size(grams) > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(grams))
+                    .cast("double") / F.size(grams), 6),
+        ).otherwise(F.lit(0.0))
+
+    fracs = d.select("doc_id",
+                     gram_frac(2).alias("rep_2gram_frac"),
+                     gram_frac(3).alias("rep_3gram_frac"))
+    counts = (d.select("doc_id", F.explode("toks").alias("t"))
+              .groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+              .groupBy("doc_id")
+              .agg(F.round(F.max("c").cast("double") / F.sum("c"), 6)
+                   .alias("top_token_frac")))
+    return (fracs.join(counts, "doc_id", "left")
+            .select("doc_id", "rep_2gram_frac", "rep_3gram_frac",
+                    F.coalesce("top_token_frac", F.lit(0.0))
+                    .alias("top_token_frac")))

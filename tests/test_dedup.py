@@ -219,3 +219,49 @@ def test_ivf_topk_probes_cells_and_ranks(spark):
     exact = {(r.query_id, r.neighbor_id)
              for r in vecops.brute_force_topk(q, emb, k=80).collect()}
     assert all((r.query_id, r.neighbor_id) in exact for r in approx)
+
+
+def test_repetition_signals_ground_truth(spark):
+    from html_parser_spark.functions import textops
+    rows = [(0, "a b a b a b"),   # heavy repetition
+            (1, "x"),             # single token: no n-grams
+            (2, "w1 w2 w3 w4")]   # all distinct
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.rep_2gram_frac, r.rep_3gram_frac, r.top_token_frac)
+           for r in textops.repetition_signals(df).collect()}
+    # doc 0: 2-grams [ab,ba,ab,ba,ab] -> 1-2/5; 3-grams [aba,bab,...] -> 1-2/4
+    assert got[0] == (0.6, 0.5, 0.5)
+    assert got[1] == (0.0, 0.0, 1.0)
+    assert got[2] == (0.0, 0.0, 0.25)
+
+
+def test_sessionize_events_ground_truth(spark):
+    """Gap sessionization: 30-min gap splits; ties broken by event_id."""
+    from datetime import datetime as DT
+    from html_parser_spark.functions import eventops
+    rows = [
+        (1, DT(2024, 1, 1, 10, 0), 7, "view", 1.0),
+        (2, DT(2024, 1, 1, 10, 20), 7, "click", 2.0),   # gap 20m: same
+        (3, DT(2024, 1, 1, 11, 0), 7, "view", 3.0),     # gap 40m: new
+        (4, DT(2024, 1, 1, 10, 5), 8, "view", 5.0),     # other user
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    got = {(r.user_id, r.session_no): (r.n_events, r.sum_value)
+           for r in eventops.sessionize_events(ev).collect()}
+    assert got == {(7, 1): (2, 3.0), (7, 2): (1, 3.0), (8, 1): (1, 5.0)}
+
+
+def test_windowed_type_counts_ground_truth(spark):
+    from datetime import datetime as DT
+    from html_parser_spark.functions import eventops
+    rows = [
+        (1, DT(2024, 1, 1, 10, 5), 7, "view", 1.0),
+        (2, DT(2024, 1, 1, 10, 55), 7, "view", 2.0),
+        (3, DT(2024, 1, 1, 11, 1), 7, "view", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    got = {(r.window_start.hour, r.event_type): (r.n_events, r.sum_value)
+           for r in eventops.windowed_type_counts(ev).collect()}
+    assert got == {(10, "view"): (2, 3.0), (11, "view"): (1, 4.0)}
