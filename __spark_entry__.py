@@ -288,6 +288,21 @@ def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_signals(docs)
 
 
+_SAMPLE_RATES = {"en": 0.5, "zh": 0.1}  # per-lang keep rates for the demo
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (textops.hash_sample(docs, _SAMPLE_RATES, key_col="lang")
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+def _q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") < 5)  # stand-in benchmark set
+    return textops.contamination_flags(docs, probes)
+
+
 def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return eventops.sessionize_events(ev)
@@ -375,6 +390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "repetition_signals": _q_repetition_signals,
+        "stratified_sample": _q_stratified_sample,
+        "contamination_flags": _q_contamination_flags,
         "sessionize_events": _q_sessionize_events,
         "windowed_type_counts": _q_windowed_type_counts,
         "langid": _q_langid,
@@ -751,6 +768,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id, f.rep_2gram_frac, f.rep_3gram_frac,
                    COALESCE(t.top_token_frac, 0.0) AS top_token_frac
             FROM fracs f LEFT JOIN top t USING (doc_id)
+        """,
+        "stratified_sample": f"""
+            -- textops.hash_sample twin: membership is a pure function of
+            -- doc_id via the shared conv(md5)%M scheme; per-lang keep
+            -- thresholds mirror _SAMPLE_RATES.
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT % 2147483647
+                  < CASE lang
+                      WHEN 'en' THEN {int(0.5 * ((1 << 31) - 1))}
+                      WHEN 'zh' THEN {int(0.1 * ((1 << 31) - 1))}
+                      ELSE {(1 << 31) - 1} END
+        """,
+        "contamination_flags": f"""
+            -- textops.contamination_flags twin: distinct probe shingles
+            -- (docs 0-4 as the stand-in benchmark) joined against every
+            -- doc's distinct shingles.
+            WITH sh0 AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
+            probe AS (SELECT DISTINCT UNNEST(shs) AS sh FROM sh0
+                      WHERE doc_id < 5),
+            dsh AS (SELECT doc_id, UNNEST(shs) AS sh FROM sh0),
+            hits AS (SELECT doc_id, COUNT(*) AS n_hits
+                     FROM dsh JOIN probe USING (sh) GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         "sessionize_events": """
             -- eventops.sessionize_events twin: lag-over-user marks gaps

@@ -13,6 +13,7 @@ __all__ = [
     "token_count", "ws_token_count", "bpe_token_count", "word_hits",
     "langid", "quality_score", "char_shingles", "doc_fingerprint",
     "position_hashes", "winnow_fingerprint", "repetition_signals",
+    "hash_sample", "contamination_flags",
     "EN_STOPWORDS", "ES_STOPWORDS", "LANG_STOPWORDS",
 ]
 
@@ -218,3 +219,63 @@ def repetition_signals(docs: "DataFrame", id_col: str = "doc_id",
             .select("doc_id", "rep_2gram_frac", "rep_3gram_frac",
                     F.coalesce("top_token_frac", F.lit(0.0))
                     .alias("top_token_frac")))
+
+
+_SAMPLE_M = (1 << 31) - 1  # same modulus family as the minhash scheme
+
+
+def hash_sample(docs: "DataFrame", rates: dict, key_col: str = "lang",
+                id_col: str = "doc_id") -> "DataFrame":
+    """Deterministic stratified sampling — the training-data mixer's
+    downsample step (e.g. CCNet/C4-style per-language rebalancing, public
+    method): keep a row iff its md5-derived hash fraction is below the
+    stratum's rate.
+
+    - Reproducible: membership is a pure function of ``id_col`` (re-runs,
+      resumes and backfills select the SAME rows — unlike ``rand()``).
+    - Map-only: no shuffle, no count pre-pass; the filter pushes to the
+      scan's partitions untouched.
+    - ``rates``: stratum value → keep-rate in [0, 1]; missing strata keep
+      everything (rate 1.0).
+
+    The hash is the minhash family's ``conv(substr(md5,1,15)) % M`` so the
+    DuckDB twin replays membership bit-for-bit.
+    """
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.encode(
+            F.col(id_col).cast("string"), "utf-8")), 1, 15), 16, 10)
+        .cast("bigint"), F.lit(_SAMPLE_M))
+    thr = F.lit(int(1.0 * _SAMPLE_M))
+    for val, rate in sorted(rates.items()):
+        thr = F.when(F.col(key_col) == val,
+                     F.lit(int(rate * _SAMPLE_M))).otherwise(thr)
+    return docs.where(h < thr)
+
+
+def contamination_flags(docs: "DataFrame", probes: "DataFrame",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> "DataFrame":
+    """Benchmark decontamination (public method: n-gram-overlap
+    contamination checks à la GPT-3 appendix C / PaLM): flag corpus
+    documents sharing character shingles with a (small) probe/benchmark
+    set.
+
+    The probe shingle set is broadcast (benchmarks are tiny next to the
+    corpus), the overlap count is a broadcast INNER join + map-side
+    combinable groupBy, and docs with zero hits never shuffle at all —
+    at 100 TB the corpus stream stays map-only.
+
+    Output: (doc_id, n_hits, contaminated).
+    """
+    probe_sh = (probes.select(
+        F.explode(char_shingles(text_col)).alias("sh")).distinct())
+    doc_sh = docs.select(F.col(id_col).alias("doc_id"),
+                         F.explode(char_shingles(text_col)).alias("sh"))
+    hits = (doc_sh.join(F.broadcast(probe_sh), "sh")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return (ids.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0)
+                    .alias("contaminated")))

@@ -265,3 +265,37 @@ def test_windowed_type_counts_ground_truth(spark):
     got = {(r.window_start.hour, r.event_type): (r.n_events, r.sum_value)
            for r in eventops.windowed_type_counts(ev).collect()}
     assert got == {(10, "view"): (2, 3.0), (11, "view"): (1, 4.0)}
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from html_parser_spark.functions import textops
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = textops.hash_sample(docs, {"en": 0.5, "zh": 0.0}, key_col="lang")
+    b = textops.hash_sample(docs, {"en": 0.5, "zh": 0.0}, key_col="lang")
+    ra = sorted(r.doc_id for r in a.collect())
+    assert ra == sorted(r.doc_id for r in b.collect())  # reproducible
+    by_lang = {r.lang: r.cnt for r in
+               a.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    tot = {r.lang: r.cnt for r in
+           docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert by_lang.get("zh", 0) == 0                    # rate 0 drops all
+    assert by_lang["fr"] == tot["fr"]                   # unlisted keeps all
+    assert 0.3 < by_lang["en"] / tot["en"] < 0.7        # ~rate 0.5
+    # membership is a pure function of doc_id: a filtered re-run selects
+    # the same surviving ids (resume/backfill property)
+    c = textops.hash_sample(docs.where(F.col("doc_id") % 2 == 0),
+                            {"en": 0.5, "zh": 0.0}, key_col="lang")
+    assert {r.doc_id for r in c.collect()} == {i for i in ra if i % 2 == 0}
+
+
+def test_contamination_flags_ground_truth(spark):
+    from html_parser_spark.functions import textops
+    rows = [(0, "A" * 40), (1, "A" * 40), (2, "B" * 40),
+            (3, "A" * 16 + "C" * 24)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    probes = docs.where(F.col("doc_id") == 0)
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in textops.contamination_flags(docs, probes).collect()}
+    assert got[0][1] and got[1] == got[0]      # probe + its exact dup hit
+    assert got[2] == (0, False)                # disjoint text clean
+    assert got[3][0] >= 1 and got[3][1]        # shared 16-char prefix hits

@@ -110,6 +110,25 @@ def test_simhash_pairs_band_join_is_key_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_contamination_probe_set_broadcasts(spark):
+    """The benchmark shingle set must broadcast — the corpus side never
+    shuffles for the overlap join (100 TB decontamination shape)."""
+    from html_parser_spark.functions import textops
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    probes = docs.where(F.col("doc_id") < 5)
+    df = textops.contamination_flags(docs, probes)
+    assert A.has_broadcast_join(df), A.formatted_plan(df)
+
+
+def test_hash_sample_is_map_only(spark):
+    """Deterministic sampling is a pushed filter — zero Exchange."""
+    from html_parser_spark.functions import textops
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = textops.hash_sample(docs, {"en": 0.5}, key_col="lang")
+    plan = A.formatted_plan(df)
+    assert "Exchange" not in plan, plan
+
+
 def test_relational_queries_keep_codegen(spark):
     df = E.queries()["pricing_summary"](spark, SF)
     assert A.has_whole_stage_codegen(df), A.formatted_plan(df)
