@@ -45,7 +45,7 @@ from pyspark.sql.types import (
 from ..job.pipeline import PAGES_SCHEMA, extract_pages, write_snapshot
 
 __all__ = ["stream_extract", "windowed_event_counts", "sessionize",
-           "stream_dedup", "SESSION_SCHEMA"]
+           "stream_dedup", "stream_near_dedup", "SESSION_SCHEMA"]
 
 
 def stream_extract(spark: SparkSession, pages_dir: str, table_dir: str,
@@ -91,6 +91,29 @@ def stream_dedup(docs: DataFrame, watermark: str = "1 hour",
             .withColumn("fingerprint", doc_fingerprint(text_col))
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["fingerprint"]))
+
+
+def stream_near_dedup(docs: DataFrame, watermark: str = "1 hour",
+                      ts_col: str = "warc_ts",
+                      text_col: str = "text") -> DataFrame:
+    """Streaming NEAR-dup suppression: keep the first doc per 64-bit
+    SimHash fingerprint within the watermark horizon.
+
+    The continuous-ingest twin of the batch ``simhash_pairs`` family —
+    identical-token-set near-duplicates (template pages, boilerplate
+    clones) collapse to one representative without any pair join: the
+    signature is the dedup KEY, so state is one int64 per distinct
+    fingerprint in the horizon, sharded across executors by
+    ``dropDuplicatesWithinWatermark``. Radius-based near-dup (hamming ≤ k)
+    needs the batch banded join; this operator covers the hamming-0 mass,
+    which at crawl scale is the overwhelming bulk of near-dup volume
+    (Manku et al.'s exact-fingerprint dedup step)."""
+    from ..functions.dedup import simhash64
+
+    return (docs
+            .withColumn("sim64", simhash64(text_col))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["sim64"]))
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

@@ -193,3 +193,32 @@ def test_stream_dedup_keeps_first_per_fingerprint(spark, tmp_path):
     assert "u3" in kept
     assert len(kept & {"u1", "u2", "u4"}) == 1
     assert len(kept) == 2
+
+
+def test_stream_near_dedup_collapses_token_set_clones(spark, tmp_path):
+    """SimHash64-keyed streaming near-dedup: token-multiset clones
+    (reordered/differently-spaced template text) collapse to one
+    representative; distinct content survives."""
+    rows = [
+        ("u1", "2024-01-01 10:00:00", "alpha beta gamma delta"),
+        ("u2", "2024-01-01 10:01:00", "delta  GAMMA beta alpha alpha"),
+        ("u3", "2024-01-01 10:02:00", "totally unrelated words here now"),
+    ]
+    src = str(tmp_path / "docs")
+    (spark.createDataFrame(rows, ["url", "ts", "text"])
+     .select("url", F.col("ts").cast("timestamp").alias("warc_ts"), "text")
+     .coalesce(1).write.parquet(src))
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, text string")
+              .parquet(src))
+    sink = []
+    q = (ST.stream_near_dedup(stream).writeStream
+         .foreachBatch(lambda df, _id: sink.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    kept = {r.url for r in sink}
+    assert "u3" in kept
+    assert len(kept & {"u1", "u2"}) == 1  # same distinct-token set
+    assert len(kept) == 2
