@@ -257,17 +257,18 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     # DISTINCT signatures only, so a cluster of d byte-identical documents
     # costs one row in the join instead of d rows per band — without this,
     # boilerplate-heavy corpora make every band bucket quadratic in the
-    # duplicate-cluster size. Doc ids ride as a per-signature list and the
-    # pairs are re-expanded afterwards (the within-cluster hamming-0 pairs
-    # and the cross-cluster products), which touches only OUTPUT-sized
-    # data. At crawl scale one would emit (representative, member) instead
-    # of materializing quadratic within-cluster pairs — that choice is the
-    # output contract's, not the join's.
-    sig = (simhash64_table(docs, id_col, text_col)
-           .groupBy("sig").agg(F.sort_array(F.collect_list("doc_id"))
-                               .alias("ids")))
-    bands = sig.select(
-        "sig", "ids",
+    # duplicate-cluster size. Pairs are then re-expanded through plain
+    # keyed JOINS on the signature (members stay one-per-row throughout —
+    # no collect_list, so no single row ever holds a whole duplicate
+    # cluster), and the join OUTPUT streams rather than materializing in
+    # memory. AQE skew-join splits a mega-cluster's partitions; the
+    # within-cluster output is inherently d², so at crawl scale one would
+    # emit (representative, member) instead — that choice belongs to the
+    # output contract, not the join.
+    sig_tbl = simhash64_table(docs, id_col, text_col)  # (doc_id, sig)
+    sigs = sig_tbl.select("sig").distinct()
+    bands = sigs.select(
+        "sig",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.shiftright("sig", b * 16).bitwiseAND(F.lit(65535))
@@ -275,35 +276,28 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             for b in range(4)
         ])).alias("bk"))
     a, b = bands.alias("a"), bands.alias("b")
-    cross = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
-                    & (F.col("a.sig") < F.col("b.sig")))
-             .select(F.col("a.sig").alias("sig_a"),
-                     F.col("b.sig").alias("sig_b"),
-                     F.col("a.ids").alias("ids_a"),
-                     F.col("b.ids").alias("ids_b"))
-             .dropDuplicates(["sig_a", "sig_b"])
-             .withColumn("hamming", F.bit_count(
-                 F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-             .where(F.col("hamming") <= max_hamming)
-             .select(F.explode("ids_a").alias("x"), "ids_b", "hamming")
-             .select("x", F.explode("ids_b").alias("y"), "hamming")
+    sig_pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                        & (F.col("a.sig") < F.col("b.sig")))
+                 .select(F.col("a.sig").alias("sig_a"),
+                         F.col("b.sig").alias("sig_b"))
+                 .dropDuplicates(["sig_a", "sig_b"])
+                 .withColumn("hamming", F.bit_count(
+                     F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+                 .where(F.col("hamming") <= max_hamming))
+    ma = sig_tbl.select(F.col("sig").alias("sig_a"),
+                        F.col("doc_id").alias("x"))
+    mb = sig_tbl.select(F.col("sig").alias("sig_b"),
+                        F.col("doc_id").alias("y"))
+    cross = (sig_pairs.join(ma, "sig_a").join(mb, "sig_b")
              .select(F.least("x", "y").alias("doc_a"),
                      F.greatest("x", "y").alias("doc_b"), "hamming"))
-    within = (sig.where(F.size("ids") > 1)
-              .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
-              .select(F.col("p.doc_a"), F.col("p.doc_b"),
+    sx, sy = sig_tbl.alias("sx"), sig_tbl.alias("sy")
+    within = (sx.join(sy, (F.col("sx.sig") == F.col("sy.sig"))
+                      & (F.col("sx.doc_id") < F.col("sy.doc_id")))
+              .select(F.col("sx.doc_id").alias("doc_a"),
+                      F.col("sy.doc_id").alias("doc_b"),
                       F.lit(0).alias("hamming")))
     return cross.unionByName(within)
-
-
-def _ordered_pairs(ids: Column) -> Column:
-    """All (doc_a < doc_b) pairs from a sorted id array, as structs —
-    pure JVM (flatten of per-element transforms), no UDF."""
-    return F.flatten(F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
 
 
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",

@@ -8,8 +8,9 @@ Scale notes: both operators shuffle ONCE on their natural key (user for
 sessions, nothing extra for tumbling windows — the groupBy handles it with
 map-side combine). The session window runs per-user; user partitions are
 small by construction, so no skew guard is needed beyond AQE. Time math is
-integer microseconds (``unix_micros``) so the DuckDB twin (``epoch_us``)
-matches exactly — no float epoch drift.
+integer microseconds straight off the NTZ values (``timestamp_diff``), so
+the DuckDB twin (``epoch_us`` differences on the same naive values)
+matches exactly — no float drift and no session-timezone/DST dependence.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ __all__ = ["sessionize_events", "windowed_type_counts"]
 
 def sessionize_events(events: DataFrame, user_col: str = "user_id",
                       ts_col: str = "ts", id_col: str = "event_id",
+                      val_col: str = "value",
                       gap_min: int = 30) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the gap to
     the previous event exceeds ``gap_min`` minutes.
@@ -28,30 +30,32 @@ def sessionize_events(events: DataFrame, user_col: str = "user_id",
     lag-over-user-window marks session starts, a running sum numbers them
     (the standard sessionization idiom), then one aggregation per
     (user, session). ``id_col`` breaks ordering ties deterministically so
-    the DuckDB twin enumerates identically.
+    the DuckDB twin enumerates identically. Gaps use ``timestamp_diff`` on
+    the NTZ values directly — no cast through the session timezone, whose
+    DST transitions would shift wall-clock gap lengths (and desync the
+    ``epoch_us``-based oracle) on any non-UTC-configured cluster.
 
     Output: (user_id, session_no, n_events, sum_value, start_ts, end_ts).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    # parquet timestamps load as TIMESTAMP_NTZ; the cast's timezone offset
-    # is constant so it cancels in the gap differences.
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    prev = F.lag(us).over(w)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap_us = F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
     is_new = F.when(
-        prev.isNull() | (us - prev > gap_min * 60 * 1_000_000),
+        prev.isNull() | (gap_us > gap_min * 60 * 1_000_000),
         F.lit(1)).otherwise(F.lit(0))
     sess = (events
             .withColumn("_new", is_new)
             .withColumn("session_no", F.sum("_new").over(w)))
     return (sess.groupBy(F.col(user_col).alias("user_id"), "session_no")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("sum_value"),
+                 F.round(F.sum(val_col), 6).alias("sum_value"),
                  F.min(ts_col).alias("start_ts"),
                  F.max(ts_col).alias("end_ts")))
 
 
 def windowed_type_counts(events: DataFrame, ts_col: str = "ts",
-                         type_col: str = "event_type") -> DataFrame:
+                         type_col: str = "event_type",
+                         val_col: str = "value") -> DataFrame:
     """Tumbling 1-hour rollup per event type: count + summed value.
 
     ``date_trunc`` keys the window (identical semantics in DuckDB), the
@@ -62,4 +66,4 @@ def windowed_type_counts(events: DataFrame, ts_col: str = "ts",
             .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
                      F.col(type_col).alias("event_type"))
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("sum_value")))
+                 F.round(F.sum(val_col), 6).alias("sum_value")))

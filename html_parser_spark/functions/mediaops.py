@@ -76,6 +76,8 @@ def _decode_bmp(raw: bytes) -> dict:
             f"compression={compression})")
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
     row_size = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
     if data_off + row_size * height > len(raw):
         raise ValueError("truncated BMP pixel data")

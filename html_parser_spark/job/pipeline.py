@@ -356,7 +356,12 @@ def committed_table(spark: SparkSession, table_dir: str) -> Optional[DataFrame]:
     if not snaps:
         return None
     dirs = [os.path.join(table_dir, s["data_dir"]) for s in snaps]
-    return spark.read.parquet(*dirs)
+    # mergeSchema: snapshots written by older engine versions may lack
+    # later-added columns (e.g. elapsed_us); without the merge, Spark takes
+    # the schema from one sampled footer and a resumed job's metrics pass
+    # crashes on the missing column for old snapshots (schema evolution is
+    # the Iceberg-parity behavior here).
+    return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
 
 def resume_remaining(pages: DataFrame, table_dir: str) -> DataFrame:

@@ -107,11 +107,19 @@ def stream_near_dedup(docs: DataFrame, watermark: str = "1 hour",
     ``dropDuplicatesWithinWatermark``. Radius-based near-dup (hamming ≤ k)
     needs the batch banded join; this operator covers the hamming-0 mass,
     which at crawl scale is the overwhelming bulk of near-dup volume
-    (Manku et al.'s exact-fingerprint dedup step)."""
+    (Manku et al.'s exact-fingerprint dedup step).
+
+    Null text coalesces to '' before hashing: simhash64(NULL) is NULL and
+    ``dropDuplicatesWithinWatermark`` treats NULL keys as equal, which
+    would silently drop all but one fetch-failed row; '' hashes to the
+    deterministic all-bits signature (-1), so token-less docs collapse to
+    one representative by design rather than by NULL-key accident."""
     from ..functions.dedup import simhash64
 
     return (docs
-            .withColumn("sim64", simhash64(text_col))
+            .withColumn("_t", F.coalesce(F.col(text_col), F.lit("")))
+            .withColumn("sim64", simhash64("_t"))
+            .drop("_t")
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["sim64"]))
 

@@ -267,9 +267,14 @@ def test_windowed_type_counts_ground_truth(spark):
     assert got == {(10, "view"): (2, 3.0), (11, "view"): (1, 4.0)}
 
 
+# Larger slice than the suite-wide sf0.001: the ~rate assertion below needs
+# a few hundred docs to be stable.
+SF_DOCS_001 = "/root/testdata/sf0.01/documents.parquet"
+
+
 def test_hash_sample_deterministic_and_stratified(spark):
     from html_parser_spark.functions import textops
-    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = spark.read.parquet(SF_DOCS_001)
     a = textops.hash_sample(docs, {"en": 0.5, "zh": 0.0}, key_col="lang")
     b = textops.hash_sample(docs, {"en": 0.5, "zh": 0.0}, key_col="lang")
     ra = sorted(r.doc_id for r in a.collect())
