@@ -57,7 +57,7 @@ def _session(cores: int):
 # Pinned idle-box single-thread kernel rate (docs/s) for the in-JSON
 # contention control — re-pin when the kernel or corpus renderer changes
 # (VERDICT r2 task 1; measured best-of-3 on 200 filler-30 pages).
-CONTROL_REF = float(os.environ.get("BENCH_CONTROL_REF", "310"))
+CONTROL_REF = float(os.environ.get("BENCH_CONTROL_REF", "360"))
 
 
 def single_thread_control(n: int = 200) -> float:
