@@ -111,3 +111,48 @@ def test_host_salted_partitioning_runs(spark):
     pages = P.synthesize_pages(spark, 40, partitions=2)
     out = P.extract_pages(pages, partitions=4, host_salted=True, salt=4)
     assert out.count() == 40
+
+
+def test_spark_submit_py_files_end_to_end(spark, tmp_path):
+    """north_rule deployment shape: `spark-submit --py-files pkg.zip
+    run.py` in a fresh process whose imports can only resolve from the
+    shipped zip (run.py is copied OUT of the repo and cwd is the temp
+    dir), writing a committed snapshot the resume machinery can read."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import zipfile
+
+    from html_parser_spark.job import pipeline as P
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "extracted")
+    P.synthesize_pages(spark, 30).write.parquet(src)
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(P.__file__)))
+    repo_root = os.path.dirname(pkg_dir)
+    zpath = str(tmp_path / "html_parser_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo_root))
+    run_py = str(tmp_path / "run.py")
+    shutil.copy(os.path.join(pkg_dir, "job", "run.py"), run_py)
+
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit")
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zpath, run_py,
+         "--input", src, "--output", out, "--cores", "4"],
+        capture_output=True, text=True, timeout=570, env=env,
+        cwd=str(tmp_path))
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-3000:])
+
+    committed = P.committed_table(spark, out)
+    assert committed is not None and committed.count() == 30
+    assert len(P.committed_snapshots(out)) == 1
