@@ -304,3 +304,36 @@ def test_contamination_flags_ground_truth(spark):
     assert got[0][1] and got[1] == got[0]      # probe + its exact dup hit
     assert got[2] == (0, False)                # disjoint text clean
     assert got[3][0] >= 1 and got[3][1]        # shared 16-char prefix hits
+
+
+def test_repetition_signals_matches_python_twin_fuzz(spark):
+    """Seeded fuzz vs a pure-python twin over 60 random token soups,
+    incl. empty, punctuation-only and non-ASCII rows (Java/RE2 \\w is
+    ASCII-only — the twin uses the equivalent explicit class)."""
+    import random
+    import re
+    from html_parser_spark.functions import textops
+    rng = random.Random(123)
+    vocab = ["aa", "bb", "cc", "Δδ", "x1", "_u", "N7", "aa"]
+    rows = []
+    for i in range(60):
+        n = rng.randint(0, 12)
+        text = (" ".join(rng.choice(vocab) for _ in range(n)) if n
+                else ("" if i % 2 else "!!! ??? ..."))
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.rep_2gram_frac, r.rep_3gram_frac, r.top_token_frac)
+           for r in textops.repetition_signals(df).collect()}
+    for i, t in rows:
+        toks = re.findall(r"[a-zA-Z0-9_]+", t.lower())
+
+        def frac(n, toks=toks):
+            grams = ([" ".join(toks[j:j + n])
+                      for j in range(len(toks) - n + 1)]
+                     if len(toks) >= n else [])
+            return (round(1 - len(set(grams)) / len(grams), 6)
+                    if grams else 0.0)
+
+        top = (round(max(toks.count(x) for x in set(toks)) / len(toks), 6)
+               if toks else 0.0)
+        assert got[i] == (frac(2), frac(3), top), (i, t)
