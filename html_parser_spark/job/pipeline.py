@@ -333,6 +333,17 @@ def write_snapshot(extracted: DataFrame, table_dir: str,
     lineage = [r.asDict() for r in
                written.groupBy("profile", "status").count().collect()]
     n = sum(r["count"] for r in lineage)
+    # Per-PARTITION lineage (north_rule): every parquet part file that
+    # makes up the snapshot, with its row count — the Iceberg-manifest
+    # analog that lets an auditor trace any committed row to the task
+    # partition that wrote it.
+    files = sorted(
+        ({"file": r.f[r.f.index("data/run_id="):] if "data/run_id=" in r.f
+          else r.f,
+          "rows": r["count"]}
+         for r in written.groupBy(
+             F.input_file_name().alias("f")).count().collect()),
+        key=lambda d: d["file"])
     parents = committed_snapshots(table_dir)
     manifest = {
         "snapshot_id": len(parents) + 1,
@@ -340,6 +351,7 @@ def write_snapshot(extracted: DataFrame, table_dir: str,
         "parent": parents[-1]["snapshot_id"] if parents else None,
         "rows": n,
         "lineage": lineage,
+        "files": files,
         "data_dir": f"data/run_id={run_id}",
     }
     sdir = _snapshot_dir(table_dir)

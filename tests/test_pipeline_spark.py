@@ -156,3 +156,19 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     committed = P.committed_table(spark, out)
     assert committed is not None and committed.count() == 30
     assert len(P.committed_snapshots(out)) == 1
+
+
+def test_snapshot_manifest_carries_per_partition_lineage(spark, tmp_path):
+    """north_rule: per-partition lineage — every parquet part file in the
+    snapshot appears in the manifest with its row count, summing to the
+    snapshot total."""
+    from html_parser_spark.job import pipeline as P
+    table = str(tmp_path / "tbl")
+    df = P.extract_pages(P.synthesize_pages(spark, 20, partitions=4))
+    m = P.write_snapshot(df, table, "r1")
+    assert m["files"], m
+    assert sum(f["rows"] for f in m["files"]) == m["rows"] == 20
+    import os
+    for f in m["files"]:
+        assert f["file"].startswith("data/run_id=r1"), f
+        assert os.path.exists(os.path.join(table, f["file"])), f
