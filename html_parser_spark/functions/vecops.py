@@ -49,6 +49,17 @@ def l2_norm_unrolled(a: Column, d: int) -> Column:
     return F.sqrt(dot_unrolled(a, a, d))
 
 
+def _safe_cos6(qn: str = "q_norm", cn: str = "c_norm") -> Column:
+    """Rounded pairwise cosine with a zero-norm guard: a zero embedding
+    (empty doc) must score 0.0, not NaN — Spark's desc ordering ranks NaN
+    above every real similarity, which would make the zero vector the
+    rank-1 neighbor of every query."""
+    prod = F.col(qn) * F.col(cn)
+    return F.when(prod > 0,
+                  F.round(dot(F.col("q_vec"), F.col("c_vec")) / prod, 6)
+                  ).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k per query. The small ``queries`` side is broadcast
@@ -69,8 +80,7 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             "query_id", "neighbor_id",
             # Rank on a 6-decimal rounding with id tie-break so the ordering
             # is reproducible across engines/float paths.
-            F.round(dot(F.col("q_vec"), F.col("c_vec"))
-                    / (F.col("q_norm") * F.col("c_norm")), 6).alias("cos_sim"),
+            _safe_cos6().alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -140,11 +150,15 @@ def near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
                 A = np.stack([r["v"] for r in rows_a])
                 B = np.stack([r["v"] for r in rows_b])
                 S = A @ B.T
-                S /= np.linalg.norm(A, axis=1)[:, None]
-                S /= np.linalg.norm(B, axis=1)[None, :]
-                # Half-away-from-zero to match Spark F.round / DuckDB ROUND
-                # on exact 6th-decimal ties (np.round is half-even).
-                S = np.copysign(np.floor(np.abs(S) * 1e6 + 0.5) / 1e6, S)
+                # Zero-norm guard (see _safe_cos6): a zero vector's row/col
+                # scores 0.0 instead of NaN.
+                na = np.linalg.norm(A, axis=1)
+                nb = np.linalg.norm(B, axis=1)
+                na[na == 0] = np.inf
+                nb[nb == 0] = np.inf
+                S /= na[:, None]
+                S /= nb[None, :]
+                S = _round6_half_away(S)
                 if blk_a == blk_b:
                     # same id set both sides: strict upper triangle emits
                     # each unordered pair once
@@ -193,9 +207,7 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                F.round(dot(F.col("q_vec"), F.col("c_vec"))
-                        / (F.col("q_norm") * F.col("c_norm")), 6)
-                .alias("cos_sim"))
+                _safe_cos6().alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -234,7 +246,8 @@ def _assign_cells(corpus: DataFrame, cents: list[list[float]],
             V = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col]])
             norms = np.linalg.norm(V, axis=1)
-            S = _round6_half_away((V / norms[:, None]) @ Cn.T)
+            safe = np.where(norms == 0, np.inf, norms)
+            S = _round6_half_away((V / safe[:, None]) @ Cn.T)
             yield pd.DataFrame({
                 "neighbor_id": pdf[id_col].to_numpy(),
                 "c_vec": list(V),
@@ -379,9 +392,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
         c.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                F.round(dot(F.col("q_vec"), F.col("c_vec"))
-                        / (F.col("q_norm") * F.col("c_norm")), 6)
-                .alias("cos_sim"))
+                _safe_cos6().alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))

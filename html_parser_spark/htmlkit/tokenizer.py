@@ -327,12 +327,23 @@ def tokenize(html: str) -> FlatDOM:
         if li == 5:
             close_tag = m.group(5)
             tag = close_tag if close_tag.islower() else close_tag.lower()
-            # Pop to the matching open tag; ignore unmatched closes.
+            # Pop to the matching open tag; ignore unmatched closes —
+            # except '</p>', which HTML5 turns into an empty paragraph
+            # (a block boundary the text spec must see; stray '</p>' is
+            # ubiquitous in real tag soup).
             for k in range(len(stack) - 1, 0, -1):
                 if stack[k][1] == tag:
                     del stack[k:]
                     top = stack[-1]
                     break
+            else:
+                if tag == "p":
+                    tags_app("p")
+                    parent_app(top[0])
+                    depth_app(top[2] + 1)
+                    attrs_app({})
+                    texts_app(None)
+                    node_count += 1
             continue
 
         if li == 1:

@@ -99,7 +99,7 @@ _BLOCKISH = "div article section nav footer h1 noscript svg".split()
 _INLINE = "span b i a strong em".split()
 # Rawtext elements take no child MARKUP: an inner </script> would terminate
 # them early and strand stray close tags (tag-soup, out of scope here).
-_RAWTEXT = "script style".split()
+_RAWTEXT = "script style textarea".split()
 _words = st.text(
     alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"),
                            whitelist_characters=" "),
@@ -121,6 +121,10 @@ def _well_formed(draw, depth=0, inline_only=False):
             inner = draw(_well_formed(depth + 1,
                                       inline_only=inline_only or tag == "p"))
         parts.append(f"<{tag}>{inner}</{tag}>")
+        # Tag soup the spec now pins: an occasional stray close tag
+        # (ignored, except the HTML5 '</p>' empty-paragraph boundary).
+        if draw(st.booleans()) and draw(st.booleans()):
+            parts.append(f"</{draw(st.sampled_from(['p', 'div', 'b']))}>")
         parts.append(draw(_words))
     return "".join(parts)
 

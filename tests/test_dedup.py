@@ -337,3 +337,25 @@ def test_repetition_signals_matches_python_twin_fuzz(spark):
         top = (round(max(toks.count(x) for x in set(toks)) / len(toks), 6)
                if toks else 0.0)
         assert got[i] == (frac(2), frac(3), top), (i, t)
+
+
+def test_zero_vector_never_ranks_first(spark):
+    """A zero embedding must score cos 0.0, not NaN (which desc-sorts
+    above every real similarity) — across brute-force, LSH, IVF, and the
+    blocked near-dup kernel."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),     # zero vector
+            (3, [0.0, 1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+               .select("vec_id",
+                       F.col("embedding").cast("array<float>")
+                       .alias("embedding"))
+    q = emb.where(F.col("vec_id") == 0)
+    bf = vecops.brute_force_topk(q, emb, k=3).collect()
+    assert [r.neighbor_id for r in bf if r.rank == 1] == [1]
+    z = [r for r in bf if r.neighbor_id == 2]
+    assert z and z[0].cos_sim == 0.0
+    nd = {(r.doc_a, r.doc_b) for r in
+          vecops.near_dup_pairs(emb, 0.5).collect()}
+    assert nd == {(0, 1)}  # zero vector pairs with nothing

@@ -328,3 +328,28 @@ class TestCombinedPass:
             t, s = boilerplate.text_and_scored(dom)
             assert t == extract_text(dom), html
             assert s == boilerplate.score_lines(dom), html
+
+
+def test_pdf_spec_edge_cases():
+    """Reviewer-found PDF parsing gaps, pinned: stolen stream-final 0x0D,
+    balanced parens in strings, ']' inside TJ array strings, backslash
+    line continuation, unknown-escape backslash drop."""
+    import zlib
+    from html_parser_spark.extract import pdfkit as K
+
+    def mkpdf(content, compress=True):
+        body = zlib.compress(content) if compress else content
+        return b"%PDF-1.4\nstream\n" + body + b"\nendstream\n"
+
+    base = b"BT (Report %d) Tj (Brand: X26999) Tj ET"
+    stolen = next(base % k for k in range(100000)
+                  if zlib.compress(base % k).endswith(b"\r"))
+    assert "Brand: X26999" in K.extract_pdf_text(mkpdf(stolen))
+    assert K.extract_pdf_text(mkpdf(b"BT (a (b) c) Tj ET")) == "a (b) c"
+    assert K.extract_pdf_text(mkpdf(b"BT [(x]y) -5 (z)] TJ ET")) == "x]yz"
+    assert K.extract_pdf_text(
+        mkpdf(b"BT (long\\\ntext) Tj (a\\xb) Tj ET")) == "longtext\naxb"
+    assert K.extract_pdf_text(mkpdf(b"BT (A\\051B\\nC) Tj ET")) == "A)B\nC"
+    assert K.extract_pdf_text(mkpdf(b"BT [(He) -30 (llo)] TJ ET")) == "Hello"
+    assert K.extract_pdf_text(
+        mkpdf(b"BT (plain) Tj ET", compress=False)) == "plain"

@@ -189,3 +189,28 @@ def test_chain_backtracks_over_descendant_steps():
     hits = S.select(dom, "article > div span")
     assert len(hits) == 1
     assert dom.tags[hits[0]] == "span"
+
+
+def test_rcdata_and_stray_close_text_semantics():
+    """Reviewer-found engine↔oracle divergences, pinned to HTML5 behavior
+    on BOTH sides: textarea/title are RCDATA (markup not parsed, entities
+    decoded); an unmatched block close is ignored except '</p>', which
+    becomes an empty-paragraph line boundary."""
+    import os
+    import sys
+    from html_parser_spark.htmlkit.text import extract_text
+    from html_parser_spark.htmlkit.tokenizer import tokenize
+    sys.path.insert(0, os.path.dirname(__file__))
+    from oracle import oracle_text
+
+    cases = {
+        "<div><textarea><b>x</b></textarea></div>": "<b>x</b>",
+        "<div><textarea>a &amp; b</textarea></div>": "a & b",
+        "a</p>b<br>c": "a\nb\nc",      # stray </p>: boundary (HTML5)
+        "a</div>b": "ab",              # stray </div>: ignored
+        "<div>a</div></p>b": "a\nb",
+    }
+    for html, expected in cases.items():
+        got = extract_text(tokenize(html))
+        assert got == expected, (html, got)
+        assert oracle_text(html) == expected, (html, oracle_text(html))
