@@ -60,6 +60,22 @@ def _safe_cos6(qn: str = "q_norm", cn: str = "c_norm") -> Column:
                   ).otherwise(F.lit(0.0))
 
 
+def _topk_by_cosine(joined: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every ANN variant: guarded rounded cosine over the
+    (q_vec/q_norm × c_vec/c_norm) join, then per-query row_number ≤ k with
+    the id tie-break. ONE definition so the rounding/tie-break contract
+    with the DuckDB twins cannot desynchronize across the three query
+    shapes."""
+    scored = (joined
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      _safe_cos6().alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k per query. The small ``queries`` side is broadcast
@@ -73,20 +89,9 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"),
                       l2_norm(F.col(vec_col)).alias("c_norm"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id",
-            # Rank on a 6-decimal rounding with id tie-break so the ordering
-            # is reproducible across engines/float paths.
-            _safe_cos6().alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    # Ranking on a 6-decimal rounding with id tie-break keeps the
+    # ordering reproducible across engines/float paths (_topk_by_cosine).
+    return _topk_by_cosine(c.crossJoin(F.broadcast(q)), k)
 
 
 def _n_blocks(n_rows: int, rows_per_block: int) -> int:
@@ -203,16 +208,7 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                       F.col(vec_col).alias("c_vec"),
                       l2_norm(F.col(vec_col)).alias("c_norm"),
                       lsh_bucket(F.col(vec_col), n_bits).alias("bucket"))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id",
-                _safe_cos6().alias("cos_sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return _topk_by_cosine(c.join(F.broadcast(q), "bucket"), k)
 
 
 def _round6_half_away(S):
@@ -388,23 +384,19 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     q = queries.select(id_col, vec_col).mapInPandas(
         probe, "query_id long, q_vec array<double>, q_norm double, cell long")
 
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id",
-                _safe_cos6().alias("cos_sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return _topk_by_cosine(c.join(F.broadcast(q), "cell"), k)
 
 
 def lsh_bucket(vec: Column, n_bits: int = 8) -> Column:
     """Sign-random-projection LSH bucket id (deterministic hyperplanes:
     hyperplane j weights component i by cos(i*j+j) — fixed, seedless).
     Same-bucket vectors are near-duplicate candidates; the bucket key makes
-    ANN a shuffle-on-bucket join instead of a cross product."""
+    ANN a shuffle-on-bucket join instead of a cross product.
+
+    Stays a per-bit sequential HOF fold ON PURPOSE: the DuckDB twin
+    (list_sum over the same element order) must reproduce the projection
+    doubles bit-for-bit, and a groupBy-SUM reformulation would add in
+    shuffle-dependent order, flipping sign bits on projections near 0."""
     idx = F.transform(vec, lambda x, i: i)
     bits = []
     for j in range(n_bits):
