@@ -12,8 +12,9 @@ from the reference (SURVEY.md §2.4 J1-J7):
   discover_json      <script type="application/discover+json">
                                                           prev/parse_tesco_html.py:29-30
   webpack_entry      window["WEBPACK_ENTRY_DATA"] = {..}; prev/parse_wayfair.py:44-48
-  inline_regex       regex-carved JS objects/scalars      costco/parse_costco.py:47-64,288-300;
+  inline_js          regex-carved JS objects/scalars      costco/parse_costco.py:47-64,288-300;
                                                           overstock/parse_overstock.py:79-110
+  pixels             <script id="web-pixels-manager-setup"> overstock-family pixel payload
   escaped_component  double-escaped initializeComponent   bestbuy/parse_bestbuy_detai.py:22-28,93-106
 
 All functions operate on the already-collected list of (script_text, attrs)

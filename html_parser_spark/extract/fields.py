@@ -12,7 +12,7 @@ import base64
 import re
 from typing import Any, Optional
 
-from ..htmlkit.tokenizer import FlatDOM, TEXT
+from ..htmlkit.tokenizer import FlatDOM
 from ..htmlkit import selectors as S
 
 __all__ = [
@@ -132,9 +132,7 @@ def parse_spec_table(dom: FlatDOM, root: Optional[int] = None) -> list[dict]:
     """X4: ``<tr><td>key</td><td>value</td></tr>`` rows → [{name,value}]
     (1.samsclub/parse_samsclub.py:128-145, :352-384 normalizer)."""
     out: list[dict] = []
-    rows = S.select(dom, "tr") if root is None else [
-        i for i in dom.iter_descendants(root) if dom.tags[i] == "tr"
-    ]
+    rows = S.select(dom, "tr", root=root)
     for tr in rows:
         cells = [c for c in dom.children(tr) if dom.tags[c] in ("td", "th")]
         if len(cells) >= 2:
@@ -294,43 +292,43 @@ def join_variant_criteria(criteria: list, info_map: list) -> list:
 
 
 def parse_ul(dom: FlatDOM, root: Optional[int] = None) -> list[str]:
-    """X5: each <li> → stripped text (1.samsclub/parse_samsclub.py:62-78)."""
-    lis = S.select(dom, "li") if root is None else [
-        i for i in dom.iter_descendants(root) if dom.tags[i] == "li"
-    ]
-    out = []
-    for li in lis:
-        t = collapse_ws(dom.node_text(li))
-        if t:
-            out.append(t)
-    return out
+    """X5: each <li> → stripped text (1.samsclub/parse_samsclub.py:62-78).
+
+    Reference-exact: ``get_text().strip()`` only — internal whitespace
+    runs survive and empty items are KEPT (the reference appends '' for
+    an empty li); a collapse-and-drop here would silently diverge from
+    the golden field values on any li with nested markup whitespace.
+    All three twins (samsclub :62-78, bedbathbeyond :178-187, walmart-2
+    key_features) share the strip-only shape."""
+    lis = S.select(dom, "li", root=root)
+    return [dom.node_text(li).strip() for li in lis]
 
 
 def sectionize_lines(lines: list[str],
                      headers: dict[str, str]) -> dict[str, list[str]]:
-    """X1 line state machine (overstock/parse_overstock.py:205-229).
-
-    ``headers`` maps header-line prefix (lowercased, e.g. ``features:``) to
-    bucket name; lines before any header go to ``description``.
-    """
+    """X1 line state machine, reference-exact
+    (overstock/parse_overstock.py:205-229): a header line matches by
+    EXACT lowercased equality (``features:`` as the whole line, never a
+    prefix); any OTHER line ending in ':' switches to a discard state
+    ("none") whose following lines are dropped — without it, an unknown
+    section like 'Care Instructions:' pollutes the previous bucket.
+    Blank lines are skipped; lines before any header go to
+    ``description``."""
     buckets: dict[str, list[str]] = {"description": []}
     for b in headers.values():
         buckets.setdefault(b, [])
     status = "description"
     for ln in lines:
-        key = ln.strip().lower()
-        matched = None
-        for prefix, bucket in headers.items():
-            if key == prefix or key.startswith(prefix):
-                matched = bucket
-                rest = ln.strip()[len(prefix):].strip()
-                status = bucket
-                if rest:
-                    buckets[bucket].append(rest)
-                break
-        if matched is None:
-            if ln.strip():
-                buckets[status].append(ln.strip())
+        line = ln.strip()
+        if not line:
+            continue
+        low = line.lower()
+        if low in headers:
+            status = headers[low]
+        elif low.endswith(":"):
+            status = "none"
+        elif status != "none":
+            buckets[status].append(line)
     return buckets
 
 

@@ -14,8 +14,8 @@ compiles to the same structure via :func:`xpath_to_css`.
 
 Compilation strategy: parse once into ``CompiledSelector`` (module/broadcast
 scope — the reference recompiles regexes per page, costco/parse_costco.py:49-62;
-we don't). Matching evaluates the *rightmost* simple selector as a vectorized
-candidate mask over the flat arrays, then verifies ancestor chains with the
+we don't). Matching walks only the rightmost simple selector's tag-index candidates
+(lazy per-dom tag → ids map), then verifies ancestor chains with the
 ``parent`` array — candidates are usually rare, ancestry walks are O(depth).
 """
 
@@ -26,9 +26,7 @@ from bisect import bisect_left
 from functools import lru_cache
 from typing import Optional
 
-import numpy as np
-
-from .tokenizer import FlatDOM, TEXT
+from .tokenizer import FlatDOM
 
 __all__ = ["compile_selector", "select", "select_one", "xpath_to_css"]
 
@@ -146,16 +144,36 @@ def _split_tokens(branch: str) -> list[str]:
     return out
 
 
+def _split_branches(selector: str) -> list[str]:
+    """Comma-union split that never splits inside ``[...]`` — attribute
+    values may legally contain commas (xpath_to_css emits them for
+    contains() predicates whose needle has a comma)."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in selector:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return out
+
+
 @lru_cache(maxsize=1024)
 def compile_selector(selector: str) -> CompiledSelector:
     chains = []
-    for branch in selector.split(","):
+    for branch in _split_branches(selector):
         branch = branch.strip()
         if not branch:
             continue
         raw = _split_tokens(branch)
         chain: list[tuple] = []
-        comb = " "
         pending_comb = " "
         for tok in raw:
             if tok == ">":
@@ -253,6 +271,8 @@ def select(dom: FlatDOM, selector: str, limit: int = 0,
                     return out
     if len(comp.chains) > 1:
         out = sorted(set(out))
+        if limit:
+            out = out[:limit]
     return out
 
 
@@ -314,8 +334,11 @@ def xpath_to_css(xpath: str) -> str:
             out.append(css)
             first = False
         else:
-            out.append(">" if sep == "/" else " ")
-            out.append(css)
+            out.append((" > " if sep == "/" else " ") + css)
     if pos != len(xp):
         raise ValueError(f"unsupported xpath: {xpath!r}")
-    return " ".join(" ".join(out).split())
+    # Plain concatenation: a split()-based renormalization here would
+    # rewrite whitespace INSIDE quoted attribute values (e.g. a double
+    # space in an exact-class predicate) into single spaces — a silent
+    # never-matches.
+    return "".join(out)

@@ -353,3 +353,26 @@ def test_pdf_spec_edge_cases():
     assert K.extract_pdf_text(mkpdf(b"BT [(He) -30 (llo)] TJ ET")) == "Hello"
     assert K.extract_pdf_text(
         mkpdf(b"BT (plain) Tj ET", compress=False)) == "plain"
+
+
+def test_sectionizer_unknown_header_discards():
+    """Reference-exact (overstock :205-229): unknown 'X:' headers switch
+    to a discard state; header match is exact, not prefix."""
+    lines = ["Nice product", "Specifications:", "Width: 5", "Features:",
+             "Sturdy", "Care Instructions:", "Wipe clean"]
+    b = F.sectionize_lines(
+        lines, {"features:": "features", "dimensions:": "dimensions"})
+    assert b["description"] == ["Nice product"]
+    assert b["features"] == ["Sturdy"]
+    assert b["dimensions"] == []
+    # header + trailing text on one line is BODY text, not a header
+    b2 = F.sectionize_lines(["Features: A", "x"], {"features:": "features"})
+    assert b2["description"] == ["Features: A", "x"]
+    assert b2["features"] == []
+
+
+def test_parse_ul_reference_exact():
+    """strip-only, empties kept (samsclub :62-78 get_text().strip())."""
+    from html_parser_spark.htmlkit.tokenizer import tokenize
+    dom = tokenize("<ul><li>A  B</li><li>  </li><li>C</li></ul>")
+    assert F.parse_ul(dom) == ["A  B", "", "C"]
