@@ -318,6 +318,16 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → keep-list: connected components over the MinHash
+    LSH edges at est_jaccard ≥ 0.5 (iterative min-label propagation with
+    pointer jumping; the DuckDB twin replays the component min via a
+    recursive CTE — the one iterative-algorithm query in the suite, so
+    the oracle proves the driver-loop fixpoint, not just one round)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(docs, min_est_jaccard=0.5)
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.35 ≈ p99.9 of the synthetic corpus' pairwise cosine (its max is ~0.5:
     # no planted dups), so the threshold branch actually emits pairs here.
@@ -382,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "embedding_near_dup": _q_embedding_near_dup,
         # Both ANN paths are approximate in RECALL but fully deterministic,
         # so each has an exact DuckDB twin; recall bounds live in pytest.
@@ -435,6 +446,30 @@ def _langid_sql() -> str:
 _SHINGLES = """list_distinct(list_transform(
     range(1, GREATEST(length(text) - 15, 1) + 1, 8),
     i -> substring(text, i, 16)))"""
+
+# MinHash CTE chain shared by the minhash_lsh_pairs and dedup_clusters
+# oracles (dedup.minhash_signature / minhash_bands twins: 16 affine
+# permutations of the conv(md5)%M shingle hash, 4 banded keys).
+_MINHASH_CTES = f"""sh AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
+            hp AS (SELECT doc_id,
+                          list_transform(shs,
+                              s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                                   % 2147483647) AS hps
+                   FROM sh),
+            sig AS (
+              SELECT doc_id,
+                     list_transform(range(0, 16),
+                         j -> list_min(list_transform(hps,
+                                  h -> ((2*j+1)*h + 7*j+3) % 2147483647))) AS sig
+              FROM hp),
+            bands AS (
+              SELECT doc_id, b,
+                     md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS band_key
+              FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
 
 # SimHash bit votes (dedup.simhash16 twin): bit b set iff tokens whose
 # md5 hex digit b is in [8,f] are the majority.
@@ -840,32 +875,43 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash_lsh_pairs": f"""
-            WITH sh AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
-            hp AS (SELECT doc_id,
-                          list_transform(shs,
-                              s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
-                                   % 2147483647) AS hps
-                   FROM sh),
-            sig AS (
-              SELECT doc_id,
-                     list_transform(range(0, 16),
-                         j -> list_min(list_transform(hps,
-                                  h -> ((2*j+1)*h + 7*j+3) % 2147483647))) AS sig
-              FROM hp),
-            bands AS (
-              SELECT doc_id, b,
-                     md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS band_key
-              FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+            WITH {_MINHASH_CTES}
             SELECT c.doc_a, c.doc_b,
                    CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
                         AS DOUBLE) / 16.0 AS est_jaccard
             FROM cand c
             JOIN sig sa ON sa.doc_id = c.doc_a
             JOIN sig sb ON sb.doc_id = c.doc_b
+        """,
+        "dedup_clusters": f"""
+            -- dedup.dedup_clusters twin: the MinHash LSH pairs at
+            -- est_jaccard >= 0.5 (>= 8 of 16 signature rows match) are an
+            -- undirected edge set; the recursive CTE computes, per node,
+            -- the MIN doc_id reachable through it — exactly the fixpoint
+            -- the Spark side's pointer-jumping label propagation reaches.
+            WITH RECURSIVE {_MINHASH_CTES},
+            edges AS (
+              SELECT c.doc_a, c.doc_b
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+              WHERE len(list_filter(range(1, 17),
+                                    i -> sa.sig[i] = sb.sig[i])) >= 8),
+            und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+                    UNION ALL
+                    SELECT doc_b AS u, doc_a AS v FROM edges),
+            reach(node, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT und.v, reach.r FROM reach
+              JOIN und ON und.u = reach.node),
+            lbl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+                    FROM reach GROUP BY node),
+            sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                   FROM lbl GROUP BY cluster_id)
+            SELECT l.doc_id, l.cluster_id, s.cluster_size,
+                   l.doc_id = l.cluster_id AS is_keeper
+            FROM lbl l JOIN sz s USING (cluster_id)
         """,
         "simhash": rf"""
             WITH tok AS (SELECT doc_id,

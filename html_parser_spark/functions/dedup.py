@@ -32,7 +32,7 @@ from .textops import char_shingles
 __all__ = [
     "minhash_signature", "minhash_bands", "minhash_lsh_pairs",
     "simhash16", "simhash64", "simhash64_table", "simhash_pairs",
-    "jaccard_pairs",
+    "jaccard_pairs", "dedup_clusters",
 ]
 
 K_HASHES = 16       # minhash signature length
@@ -298,6 +298,83 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                       F.col("sy.doc_id").alias("doc_b"),
                       F.lit(0).alias("hamming")))
     return cross.unionByName(within)
+
+
+def dedup_clusters(docs: DataFrame, edges: DataFrame | None = None,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   min_est_jaccard: float = 0.5,
+                   max_iter: int = 25) -> DataFrame:
+    """Connected components over near-duplicate PAIRS → the dedup decision.
+
+    Every pair family here (:func:`minhash_lsh_pairs`, :func:`simhash_pairs`,
+    :func:`jaccard_pairs`) emits edges; an actual dedup stage must turn
+    those edges into clusters and pick ONE canonical document per cluster —
+    near-duplication is not transitive pairwise, so keep/drop cannot be
+    decided per edge (A~B and B~C must collapse to one keeper even when
+    A~C was never emitted). Output, one row per input document:
+
+        (doc_id, cluster_id, cluster_size, is_keeper)
+
+    ``cluster_id`` = min doc_id of the component, ``is_keeper`` = the
+    min-id canonical-doc policy (deterministic, join-free to apply:
+    ``WHERE is_keeper`` is the deduplicated corpus).
+
+    Algorithm: iterative min-label propagation with POINTER JUMPING —
+    each round every node takes ``min(own label, labels of neighbors)``
+    and then short-circuits one indirection (``lbl ← lbl(lbl)``), so a
+    length-k chain converges in O(log k) rounds instead of O(k); LSH
+    near-dup components are near-cliques (diameter ≤ ~3), so in practice
+    2-3 rounds. Each round is two key-shuffles (neighbor-min groupBy +
+    the jump self-join) — never an all-pairs step, and label rows are
+    (id, id) pairs only: at 10¹² docs each round shuffles two int64
+    columns, nothing document-sized. The driver loop holds only the
+    changed-row COUNT (a scalar action per round); labels are
+    ``localCheckpoint``-ed each round so the plan stays O(1) deep instead
+    of growing with iterations (on a real cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
+    executor-loss-safe truncation). Same fixpoint as the large-star/
+    small-star formulation (Kiveris et al., SoCC 2014) on these
+    shallow-diameter graphs.
+
+    ``edges``: optional (doc_a, doc_b) DataFrame to cluster an external
+    pair source (e.g. ``simhash_pairs`` output); default derives edges
+    from :func:`minhash_lsh_pairs` at ``min_est_jaccard``.
+    """
+    if edges is None:
+        edges = (minhash_lsh_pairs(docs, id_col, text_col)
+                 .where(F.col("est_jaccard") >= min_est_jaccard))
+    edges = edges.select("doc_a", "doc_b")
+    adj = (edges.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .unionByName(edges.select(F.col("doc_b").alias("src"),
+                                     F.col("doc_a").alias("dst"))))
+    labels = docs.select(F.col(id_col).alias("doc_id"),
+                         F.col(id_col).alias("lbl")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (adj.join(labels, adj.dst == labels.doc_id)
+               .groupBy("src").agg(F.min("lbl").alias("nlbl")))
+        cand = (labels.join(nbr, labels.doc_id == nbr.src, "left")
+                .select("doc_id",
+                        F.least("lbl", F.coalesce("nlbl", "lbl"))
+                        .alias("lbl")))
+        m = cand.select(F.col("doc_id").alias("mid"),
+                        F.col("lbl").alias("mlbl"))
+        new_labels = (cand.join(m, cand.lbl == m.mid, "left")
+                      .select("doc_id",
+                              F.coalesce("mlbl", "lbl").alias("lbl"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "lbl")
+            .select("doc_id", F.col("lbl").alias("cluster_id"),
+                    "cluster_size",
+                    (F.col("doc_id") == F.col("lbl")).alias("is_keeper")))
 
 
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",

@@ -359,3 +359,41 @@ def test_zero_vector_never_ranks_first(spark):
     nd = {(r.doc_a, r.doc_b) for r in
           vecops.near_dup_pairs(emb, 0.5).collect()}
     assert nd == {(0, 1)}  # zero vector pairs with nothing
+
+
+def test_dedup_clusters_transitive_closure(spark, docs):
+    """A~B and B~C must land in ONE cluster with ONE keeper even if the
+    A~C edge was never emitted — the reason pairs alone are not a dedup."""
+    out = {r.doc_id: r for r in
+           dedup.dedup_clusters(docs, min_est_jaccard=0.5).collect()}
+    assert len(out) == 4                       # one row per input doc
+    # docs 0/1/2 form one component (0-1 exact, 0-2 near), 3 a singleton
+    assert out[0].cluster_id == out[1].cluster_id == out[2].cluster_id == 0
+    assert out[0].cluster_size == 3
+    assert (out[0].is_keeper, out[1].is_keeper, out[2].is_keeper) == (
+        True, False, False)
+    assert out[3].cluster_id == 3 and out[3].cluster_size == 1
+    assert out[3].is_keeper
+
+
+def test_dedup_clusters_chain_pointer_jumping(spark):
+    """Worst-case diameter: a 20-node path converges to a single component
+    within max_iter thanks to pointer jumping (min-prop alone would need
+    19 rounds)."""
+    nodes = spark.range(20).select(F.col("id").alias("doc_id"),
+                                   F.lit("x").alias("text"))
+    edges = spark.createDataFrame([(i, i + 1) for i in range(19)],
+                                  "doc_a long, doc_b long")
+    out = dedup.dedup_clusters(nodes, edges=edges, max_iter=8).collect()
+    assert all(r.cluster_id == 0 and r.cluster_size == 20 for r in out)
+    assert sum(r.is_keeper for r in out) == 1
+
+
+def test_dedup_clusters_external_edges_source(spark, docs):
+    """The edges parameter clusters any pair family's output — here the
+    simhash_pairs edges instead of the default MinHash derivation."""
+    edges = dedup.simhash_pairs(docs, max_hamming=3)
+    out = {r.doc_id: r for r in
+           dedup.dedup_clusters(docs, edges=edges).collect()}
+    assert out[0].cluster_id == out[1].cluster_id   # exact dups collapse
+    assert out[3].cluster_size == 1
