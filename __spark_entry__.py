@@ -130,6 +130,36 @@ def _q_host_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_ok")))
 
 
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup over deterministically-messied spellings of the
+    corpus urls. Each url is expanded into 5 raw variants — as-is, a
+    case-mangled scheme/host, a :443-ported + trailing-slashed form, and
+    two query-bearing forms whose params differ only in order / tracking
+    noise — and urlops.url_dedup collapses them by canonical key: the
+    three content-identical spellings group under the bare canonical, the
+    two param-bearing ones under the ?a=1&b=2 canonical (2 groups per
+    page, sizes 3 and 2). The DuckDB twin re-derives the urls from the
+    page index and replays every canonicalization rule via regex
+    part-splitting."""
+    from html_parser_spark.functions import urlops
+    docs = _t(spark, sf_dir, "documents")
+    n = max(200, min(docs.count() * 4, 20000))
+    pages = P.synthesize_pages(spark, n).select("url")
+    sep = F.when(F.col("url").contains("?"), F.lit("&")).otherwise(F.lit("?"))
+    ported = F.replace(F.col("url"), F.lit(".example.com/"),
+                       F.lit(".example.com:443/"))
+    variants = pages.select(F.explode(F.array(
+        F.col("url"),
+        F.concat(F.upper(F.substring("url", 1, 12)),
+                 F.expr("substring(url, 13)")),
+        F.when(F.col("url").contains("?"), ported)
+         .otherwise(F.concat(ported, F.lit("/"))),
+        F.concat("url", sep, F.lit("b=2&a=1&utm_source=feed#frag")),
+        F.concat("url", sep, F.lit("a=1&b=2&gclid=x")),
+    )).alias("raw_url"))
+    return urlops.url_dedup(variants, "raw_url")
+
+
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -379,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_dispatch": _q_extract_dispatch,
         "extract_metrics": _q_extract_metrics,
         "host_doc_counts": _q_host_doc_counts,
+        "url_canonical": _q_url_canonical,
         # relational skeleton (SURVEY.md §2.6)
         "pricing_summary": _q_pricing_summary,
         "top_revenue_nations": _q_top_revenue_nations,
@@ -515,6 +546,25 @@ _SITE_ARRAY = "[" + ", ".join(
     f"'{_synth._SITES[p]}'" for p in _SYNTH_PROFILES) + "]"
 _CAT_ARRAY = "[" + ", ".join(f"'{c.lower()}'" for c in _synth._CATS) + "]"
 
+# url_for twin (sources/synth.py), shared by the extract_pages /
+# extract_dispatch / url_canonical oracles; expects `i` and `gen_profile`
+# columns in scope (the `base` CTE each of those queries builds).
+_URL_SQL = f"""CASE WHEN gen_profile = 'pdf'
+                     THEN 'https://files.example.com/docs/report-'
+                          || i || '.pdf'
+                   WHEN gen_profile = 'error'
+                     THEN 'https://blocked.example.com/item/' || i
+                   WHEN gen_profile = 'escaped-component-detail'
+                     THEN 'https://www.bestbuyer.example.com/site/item-'
+                          || (100000 + i) || '/' || (100000 + i)
+                          || '.p?skuId=' || (100000 + i)
+                   ELSE 'https://www.'
+                        || ({_SITE_ARRAY})[CAST(i % 13 AS INT) + 1]
+                        || '.example.com/'
+                        || ({_CAT_ARRAY})[CAST(i % 7 AS INT) + 1]
+                        || '/item-' || (100000 + i) || '/' || (100000 + i)
+              END"""
+
 
 def _lsh_bucket_expr(vec: str, n_bits: int = 8) -> str:
     """DuckDB twin of vecops.lsh_bucket: hyperplane j (1-based) weights
@@ -591,21 +641,7 @@ def oracle_sql() -> dict[str, str]:
                      END AS gen_profile
               FROM idx)
             SELECT
-              CASE WHEN gen_profile = 'pdf'
-                     THEN 'https://files.example.com/docs/report-'
-                          || i || '.pdf'
-                   WHEN gen_profile = 'error'
-                     THEN 'https://blocked.example.com/item/' || i
-                   WHEN gen_profile = 'escaped-component-detail'
-                     THEN 'https://www.bestbuyer.example.com/site/item-'
-                          || (100000 + i) || '/' || (100000 + i)
-                          || '.p?skuId=' || (100000 + i)
-                   ELSE 'https://www.'
-                        || ({_SITE_ARRAY})[CAST(i % 13 AS INT) + 1]
-                        || '.example.com/'
-                        || ({_CAT_ARRAY})[CAST(i % 7 AS INT) + 1]
-                        || '/item-' || (100000 + i) || '/' || (100000 + i)
-              END AS url,
+              {_URL_SQL} AS url,
               CASE WHEN gen_profile = 'error' THEN NULL
                    ELSE gen_profile END AS profile,
               CASE WHEN gen_profile = 'error' THEN 'no_rule'
@@ -640,21 +676,7 @@ def oracle_sql() -> dict[str, str]:
                      END AS gen_profile
               FROM idx)
             SELECT
-              CASE WHEN gen_profile = 'pdf'
-                     THEN 'https://files.example.com/docs/report-'
-                          || i || '.pdf'
-                   WHEN gen_profile = 'error'
-                     THEN 'https://blocked.example.com/item/' || i
-                   WHEN gen_profile = 'escaped-component-detail'
-                     THEN 'https://www.bestbuyer.example.com/site/item-'
-                          || (100000 + i) || '/' || (100000 + i)
-                          || '.p?skuId=' || (100000 + i)
-                   ELSE 'https://www.'
-                        || ({_SITE_ARRAY})[CAST(i % 13 AS INT) + 1]
-                        || '.example.com/'
-                        || ({_CAT_ARRAY})[CAST(i % 7 AS INT) + 1]
-                        || '/item-' || (100000 + i) || '/' || (100000 + i)
-              END AS url,
+              {_URL_SQL} AS url,
               CASE WHEN gen_profile = 'error' THEN NULL
                    ELSE gen_profile END AS profile,
               CASE WHEN gen_profile = 'error' THEN 'no_rule'
@@ -683,6 +705,86 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CASE WHEN gen_profile = 'error' THEN 0 ELSE 1 END)
                    AS BIGINT) AS n_ok
             FROM base GROUP BY 1
+        """,
+        "url_canonical": f"""
+            -- urlops.canonicalize_url twin: urls re-derived from the page
+            -- index (_URL_SQL), messied into the same 5 deterministic
+            -- variants, then canonicalized by regex part-splitting that
+            -- mirrors parse_url semantics (HOST sans userinfo/port,
+            -- query after first '?', fragment after '#').
+            WITH n AS (SELECT GREATEST(200, LEAST(COUNT(*) * 4, 20000))
+                           AS n_pages FROM documents),
+            idx AS (SELECT UNNEST(range(0, n_pages)) AS i FROM n),
+            base AS (
+              SELECT i,
+                     CASE WHEN i % 50 = 48 THEN 'pdf'
+                          WHEN i % 50 = 49 THEN 'error'
+                          ELSE ({_PROFILE_ARRAY})[CAST(i % 13 AS INT) + 1]
+                     END AS gen_profile
+              FROM idx),
+            urls AS (SELECT {_URL_SQL} AS url FROM base),
+            v AS (
+              SELECT UNNEST([
+                url,
+                upper(substring(url, 1, 12)) || substring(url, 13),
+                CASE WHEN contains(url, '?')
+                     THEN replace(url, '.example.com/', '.example.com:443/')
+                     ELSE replace(url, '.example.com/', '.example.com:443/')
+                          || '/' END,
+                url || (CASE WHEN contains(url, '?') THEN '&' ELSE '?' END)
+                    || 'b=2&a=1&utm_source=feed#frag',
+                url || (CASE WHEN contains(url, '?') THEN '&' ELSE '?' END)
+                    || 'a=1&b=2&gclid=x'
+              ]) AS raw_url
+              FROM urls),
+            p1 AS (
+              SELECT raw_url,
+                     lower(regexp_extract(raw_url,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS proto,
+                     regexp_replace(raw_url,
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+              FROM v),
+            p2 AS (
+              SELECT raw_url, proto,
+                     regexp_extract(rest, '^([^/?#]*)', 1) AS auth,
+                     substring(rest,
+                         length(regexp_extract(rest, '^([^/?#]*)', 1)) + 1)
+                         AS pqf
+              FROM p1),
+            p3 AS (
+              SELECT raw_url, proto,
+                     lower(regexp_extract(
+                         regexp_replace(auth, '^[^@]*@', ''),
+                         '^([^:]*)', 1)) AS host,
+                     regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+                     regexp_extract(pqf, '^([^?#]*)', 1) AS path,
+                     regexp_extract(pqf, '\\?([^#]*)', 1) AS query
+              FROM p2),
+            p4 AS (
+              SELECT raw_url, proto, host, port,
+                     CASE WHEN regexp_replace(path, '/+$', '') = ''
+                          THEN '/' ELSE regexp_replace(path, '/+$', '')
+                     END AS cpath,
+                     array_to_string(list_sort(list_filter(
+                         string_split(query, '&'),
+                         p -> p != '' AND NOT regexp_matches(p,
+                             '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)='))),
+                         '&') AS qs
+              FROM p3),
+            canon AS (
+              SELECT raw_url,
+                     proto || '://' || host
+                     || (CASE WHEN port != ''
+                              AND NOT ((proto = 'https' AND port = '443')
+                                       OR (proto = 'http' AND port = '80'))
+                              THEN ':' || port ELSE '' END)
+                     || cpath
+                     || (CASE WHEN qs != '' THEN '?' || qs ELSE '' END)
+                         AS canonical_url
+              FROM p4)
+            SELECT canonical_url, COUNT(*) AS n_variants,
+                   MIN(raw_url) AS representative_url
+            FROM canon GROUP BY canonical_url
         """,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
