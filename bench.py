@@ -247,8 +247,11 @@ def main() -> None:
     # scale) — iterating the registry keeps new operators from silently
     # dropping out of the bench.
     qmap = E.queries()
+    # Skipped queries are the ones whose Spark-side cost is dominated by
+    # rendering the synthetic pages corpus (the headline extract_pipeline
+    # above already times that path at bench scale, without re-rendering).
     skip = {"extract_pages", "extract_metrics", "extract_dispatch",
-            "host_doc_counts"}
+            "host_doc_counts", "url_canonical"}
     for name in sorted(set(qmap) - skip):
         queries[name] = _timed(lambda n=name: qmap[n](spark, SF_DIR))
 

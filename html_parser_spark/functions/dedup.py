@@ -325,9 +325,10 @@ def dedup_clusters(docs: DataFrame, edges: DataFrame | None = None,
     length-k chain converges in O(log k) rounds instead of O(k); LSH
     near-dup components are near-cliques (diameter ≤ ~3), so in practice
     2-3 rounds. Each round is two key-shuffles (neighbor-min groupBy +
-    the jump self-join) — never an all-pairs step, and label rows are
-    (id, id) pairs only: at 10¹² docs each round shuffles two int64
-    columns, nothing document-sized. The driver loop holds only the
+    the jump self-join) — never an all-pairs step — and only EDGE-TOUCHED
+    nodes participate (singletons join back after the fixpoint), so label
+    rows are (id, id) int64 pairs bounded by the near-dup subgraph, not
+    the corpus. The driver loop holds only the
     changed-row COUNT (a scalar action per round); labels are
     ``localCheckpoint``-ed each round so the plan stays O(1) deep instead
     of growing with iterations (on a real cluster use
@@ -344,12 +345,28 @@ def dedup_clusters(docs: DataFrame, edges: DataFrame | None = None,
         edges = (minhash_lsh_pairs(docs, id_col, text_col)
                  .where(F.col("est_jaccard") >= min_est_jaccard))
     edges = edges.select("doc_a", "doc_b")
+    # Materialize the (symmetrized) adjacency ONCE: every round's action
+    # re-executes the label lineage, and without this the whole upstream
+    # pair derivation (the full MinHash pipeline) would re-run per round.
     adj = (edges.select(F.col("doc_a").alias("src"),
                         F.col("doc_b").alias("dst"))
            .unionByName(edges.select(F.col("doc_b").alias("src"),
-                                     F.col("doc_a").alias("dst"))))
-    labels = docs.select(F.col(id_col).alias("doc_id"),
-                         F.col(id_col).alias("lbl")).localCheckpoint()
+                                     F.col("doc_a").alias("dst")))
+           .localCheckpoint())
+    # Iterate over EDGE-TOUCHED nodes only: documents in no pair are
+    # singletons by definition and join back after the fixpoint, so every
+    # per-round table scales with |edges| (the near-dup subgraph), not the
+    # corpus — at crawl scale the difference between shuffling ~10⁹ label
+    # rows per round and ~10¹² .
+    labels = (adj.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("lbl", F.col("doc_id")).localCheckpoint())
+    # Convergence signal: labels are monotone non-increasing, so the label
+    # SUM strictly decreases iff ANY label changed — one aggregate action
+    # per round instead of an old-vs-new join.
+    # decimal(38,0) keeps the sum exact far past int64 (10¹² ids of 10¹²
+    # magnitude sum to ~10²⁴; a wrapped int64 could alias two states).
+    _lsum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_lsum).collect()[0][0]
     for _ in range(max_iter):
         nbr = (adj.join(labels, adj.dst == labels.doc_id)
                .groupBy("src").agg(F.min("lbl").alias("nlbl")))
@@ -363,15 +380,18 @@ def dedup_clusters(docs: DataFrame, edges: DataFrame | None = None,
                       .select("doc_id",
                               F.coalesce("mlbl", "lbl").alias("lbl"))
                       .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
+        new_sum = new_labels.agg(_lsum).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
-    sizes = labels.groupBy("lbl").agg(
+        prev_sum = new_sum
+    full = (docs.select(F.col(id_col).alias("doc_id"))
+            .join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lbl", F.col("doc_id")).alias("lbl")))
+    sizes = full.groupBy("lbl").agg(
         F.count(F.lit(1)).alias("cluster_size"))
-    return (labels.join(sizes, "lbl")
+    return (full.join(sizes, "lbl")
             .select("doc_id", F.col("lbl").alias("cluster_id"),
                     "cluster_size",
                     (F.col("doc_id") == F.col("lbl")).alias("is_keeper")))
