@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from html_parser_spark.functions import (
-    dedup, eventops, mediaops, textops, vecops)
+    dedup, eventops, mediaops, pii, textops, vecops)
 from html_parser_spark.job import pipeline as P
 from html_parser_spark.sources.media import media_from_documents
 from html_parser_spark.sources import synth as _synth
@@ -348,6 +348,35 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs)
 
 
+# PII injection expression — one deterministic synthetic PII item per doc
+# (by doc_id mod 3), written in the SQL dialect intersection so the SAME
+# string augments the text in Spark and in the DuckDB twin.
+_PII_AUG_EXPR = """text || CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN ' Contact user' || CAST(doc_id AS STRING)
+                || '@mail.example.com now.'
+    WHEN 1 THEN ' Call 555-' || LPAD(CAST(doc_id % 900 + 100 AS STRING),
+                                     3, '0')
+                || '-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
+                || ' today.'
+    ELSE ' Logged from 10.' || CAST(doc_id % 256 AS STRING) || '.'
+         || CAST((doc_id * 7) % 256 AS STRING) || '.'
+         || CAST(doc_id % 200 + 1 AS STRING) || ' ok.'
+END"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass: deterministic synthetic PII is injected per doc
+    (the corpus itself is PII-free by construction), then detected and
+    scrubbed by the shared regex rules — map-only JVM regexps, counts
+    before scrubbing, md5 of the scrubbed text as the content witness."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_PII_AUG_EXPR).alias("text"))
+    return (pii.pii_scrub_table(aug)
+            .select("doc_id", "n_email", "n_phone", "n_ipv4",
+                    F.md5(F.encode("scrubbed", "utf-8"))
+                    .alias("scrubbed_md5")))
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters → keep-list: connected components over the MinHash
     LSH edges at est_jaccard ≥ 0.5 (iterative min-label propagation with
@@ -356,6 +385,35 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle proves the driver-loop fixpoint, not just one round)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.dedup_clusters(docs, min_est_jaccard=0.5)
+
+
+def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus filter funnel as ONE declarative
+    plan: per-doc quality/language/repetition scoring (all map-side),
+    near-dup canonical keepers (dedup_clusters), and benchmark
+    decontamination (broadcast probe-shingle semi-join) — the keep-list a
+    real pre-training pipeline materializes. Every stage reuses an
+    operator that is also individually oracled; this query pins their
+    COMPOSITION against one DuckDB replay."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        textops.langid("text").alias("lang_detected"),
+        textops.quality_score("text").alias("quality"))
+    rep = textops.repetition_signals(docs).select(
+        "doc_id", "top_token_frac")
+    keep = (dedup.dedup_clusters(docs, min_est_jaccard=0.5)
+            .where("is_keeper").select("doc_id"))
+    clean = (textops.contamination_flags(
+                 docs, docs.where(F.col("doc_id") < 5))
+             .where(~F.col("contaminated")).select("doc_id"))
+    return (scored.join(rep, "doc_id")
+            .where((F.col("quality") >= 0.4)
+                   & (F.col("lang_detected") == "en")
+                   & (F.col("top_token_frac") <= 0.12))
+            .join(keep, "doc_id", "left_semi")
+            .join(clean, "doc_id", "left_semi")
+            .select("doc_id", "lang_detected", "quality"))
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "pii_scrub": _q_pii_scrub,
+        "corpus_filter": _q_corpus_filter,
         "embedding_near_dup": _q_embedding_near_dup,
         # Both ANN paths are approximate in RECALL but fully deterministic,
         # so each has an exact DuckDB twin; recall bounds live in pytest.
@@ -564,6 +624,17 @@ _URL_SQL = f"""CASE WHEN gen_profile = 'pdf'
                         || ({_CAT_ARRAY})[CAST(i % 7 AS INT) + 1]
                         || '/item-' || (100000 + i) || '/' || (100000 + i)
               END"""
+
+
+# functions/pii.py twins, derived from the SAME PII_PATTERNS list the
+# Spark side compiles, so pattern strings cannot drift.
+_PII_COUNTS_SQL = ", ".join(
+    f"len(regexp_extract_all(text, '{_pat}')) AS n_{_kind}"
+    for _kind, _pat, _ in pii.PII_PATTERNS)
+_PII_SCRUB_SQL = "text"
+for _kind, _pat, _repl in pii.PII_PATTERNS:
+    _PII_SCRUB_SQL = (
+        f"regexp_replace({_PII_SCRUB_SQL}, '{_pat}', '{_repl}', 'g')")
 
 
 def _lsh_bucket_expr(vec: str, n_bits: int = 8) -> str:
@@ -985,6 +1056,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sig sa ON sa.doc_id = c.doc_a
             JOIN sig sb ON sb.doc_id = c.doc_b
         """,
+        "pii_scrub": f"""
+            -- functions/pii.py twin: identical pattern strings (RE2/Java
+            -- dialect intersection), identical injection expression,
+            -- sequential scrub chain in PII_PATTERNS order.
+            WITH aug AS (SELECT doc_id, {_PII_AUG_EXPR} AS text
+                         FROM documents)
+            SELECT doc_id, {_PII_COUNTS_SQL},
+                   md5({_PII_SCRUB_SQL}) AS scrubbed_md5
+            FROM aug
+        """,
         "dedup_clusters": f"""
             -- dedup.dedup_clusters twin: the MinHash LSH pairs at
             -- est_jaccard >= 0.5 (>= 8 of 16 signature rows match) are an
@@ -1066,6 +1147,74 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             WHERE ROUND(CAST(n_common AS DOUBLE)
                         / (n_a + n_b - n_common), 6) >= 0.1
+        """,
+        "corpus_filter": rf"""
+            -- The funnel's DuckDB replay composes the SAME twins that
+            -- verify each stage alone: MinHash CC keepers (recursive
+            -- CTE), probe-shingle contamination, langid CASE ladder,
+            -- quality expression, top-token repetition fraction.
+            WITH RECURSIVE {_MINHASH_CTES},
+            edges AS (
+              SELECT c.doc_a, c.doc_b
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+              WHERE len(list_filter(range(1, 17),
+                                    i -> sa.sig[i] = sb.sig[i])) >= 8),
+            und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+                    UNION ALL
+                    SELECT doc_b AS u, doc_a AS v FROM edges),
+            reach(node, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT und.v, reach.r FROM reach
+              JOIN und ON und.u = reach.node),
+            lbl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+                    FROM reach GROUP BY node),
+            keepers AS (SELECT doc_id FROM lbl WHERE doc_id = cluster_id),
+            probe AS (SELECT DISTINCT UNNEST(shs) AS pr_sh FROM sh
+                      WHERE doc_id < 5),
+            hits AS (SELECT DISTINCT s.doc_id
+                     FROM (SELECT doc_id, UNNEST(shs) AS pr_sh FROM sh) s
+                     JOIN probe USING (pr_sh)),
+            tok AS (SELECT doc_id,
+                           regexp_extract_all(lower(text), '\w+') AS toks
+                    FROM documents),
+            tcounts AS (SELECT doc_id, t, COUNT(*) AS c
+                        FROM (SELECT doc_id, UNNEST(toks) AS t FROM tok)
+                        GROUP BY doc_id, t),
+            top AS (SELECT doc_id,
+                           ROUND(MAX(c)::DOUBLE / SUM(c), 6)
+                               AS top_token_frac
+                    FROM tcounts GROUP BY doc_id)
+            SELECT d.doc_id,
+                   {_langid_sql()} AS lang_detected,
+                   ROUND(
+                     0.5 * LEAST(length(text) / 500.0, 1.0)
+                   + 0.4 * LEAST((len(regexp_extract_all(lower(text),
+                                  '\b({_EN})\b'))
+                                  / GREATEST(len(regexp_extract_all(text,
+                                             '\w+')), 1)) * 4, 1.0)
+                   + 0.1 * (1.0 - LEAST((len(regexp_extract_all(text,
+                                  '[.,;:!?]'))
+                                  / GREATEST(length(text), 1)) * 10, 1.0)),
+                   4) AS quality
+            FROM documents d
+            JOIN keepers USING (doc_id)
+            LEFT JOIN top USING (doc_id)
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)
+              AND COALESCE(top.top_token_frac, 0) <= 0.12
+              AND {_langid_sql()} = 'en'
+              AND ROUND(
+                    0.5 * LEAST(length(text) / 500.0, 1.0)
+                  + 0.4 * LEAST((len(regexp_extract_all(lower(text),
+                                 '\b({_EN})\b'))
+                                 / GREATEST(len(regexp_extract_all(text,
+                                            '\w+')), 1)) * 4, 1.0)
+                  + 0.1 * (1.0 - LEAST((len(regexp_extract_all(text,
+                                 '[.,;:!?]'))
+                                 / GREATEST(length(text), 1)) * 10, 1.0)),
+                  4) >= 0.4
         """,
         "embedding_near_dup": f"""
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
