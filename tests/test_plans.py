@@ -156,3 +156,44 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_url_canonicalization_stays_jvm_side(spark):
+    """canonicalize_url + url_dedup: one hash Exchange (the canonical-key
+    groupBy, map-side combinable) and zero Python evaluation — URL dedup
+    must ride the scan, not a UDF."""
+    from html_parser_spark.functions import urlops
+    df = urlops.url_dedup(
+        spark.createDataFrame([("https://h.example.com/p?b=2&a=1",)],
+                              ["url"]))
+    plan = A.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    assert A.n_exchanges(df) == 1, plan
+    assert "partial_count" in plan, plan  # map-side combine
+
+
+def test_pii_scrub_is_map_only(spark):
+    """PII detection/scrubbing is a pure projection: zero Exchange, zero
+    Python — it must fuse into whatever scan already reads the text."""
+    from html_parser_spark.functions import pii
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = pii.pii_scrub_table(docs)
+    plan = A.formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    assert A.has_whole_stage_codegen(df), plan
+
+
+def test_dedup_clusters_joins_are_keyed(spark):
+    """Every dedup_clusters join (neighbor-min, pointer jump, singleton
+    join-back) must be a key equi-join — never a cartesian product. The
+    label table arrives as a checkpointed RDD with no static stats, so
+    broadcast-vs-shuffle is correctly left to AQE's RUNTIME size
+    observation (statically forcing broadcast would be wrong when the
+    near-dup subgraph is itself huge)."""
+    from html_parser_spark.functions import dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = dedup.dedup_clusters(docs, min_est_jaccard=0.5)
+    plan = A.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
