@@ -348,6 +348,15 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs)
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # documents.text is single-line by construction (TESTDATA.md), so the
+    # demo segments on a surrogate delimiter (' table ' recurs enough for
+    # real cross-doc boilerplate: 65 removable segments at sf0.01); real
+    # corpora use the operator's default delim='\n'.
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.line_dedup(docs, delim=" table ", min_docs=2)
+
+
 # PII injection expression — one deterministic synthetic PII item per doc
 # (by doc_id mod 3), written in the SQL dialect intersection so the SAME
 # string augments the text in Spark and in the DuckDB twin.
@@ -481,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
+        "line_dedup": _q_line_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "pii_scrub": _q_pii_scrub,
         "corpus_filter": _q_corpus_filter,
@@ -1147,6 +1157,34 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             WHERE ROUND(CAST(n_common AS DOUBLE)
                         / (n_a + n_b - n_common), 6) >= 0.1
+        """,
+        "line_dedup": """
+            -- C4-style cross-doc line dedup, surrogate delim ' table '
+            -- (documents.text is single-line). Spark rejoins kept lines
+            -- with '\\n' for non-whitespace delims → chr(10) here.
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' table ')) AS line,
+                     unnest(generate_series(
+                         1, len(string_split(text, ' table ')))) AS pos
+              FROM documents),
+            hashed AS (
+              SELECT doc_id, pos, line, md5(trim(line)) AS lh FROM lines),
+            dup AS (
+              SELECT lh FROM (
+                SELECT lh, COUNT(DISTINCT doc_id) AS ndocs
+                FROM hashed WHERE length(trim(line)) >= 4
+                GROUP BY lh)
+              WHERE ndocs >= 2)
+            SELECT h.doc_id,
+                   COALESCE(string_agg(
+                       CASE WHEN d.lh IS NULL THEN h.line END,
+                       chr(10) ORDER BY h.pos), '') AS clean_text,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN d.lh IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM hashed h LEFT JOIN dup d USING (lh)
+            GROUP BY h.doc_id
         """,
         "corpus_filter": rf"""
             -- The funnel's DuckDB replay composes the SAME twins that

@@ -32,7 +32,7 @@ from .textops import char_shingles
 __all__ = [
     "minhash_signature", "minhash_bands", "minhash_lsh_pairs",
     "simhash16", "simhash64", "simhash64_table", "simhash_pairs",
-    "jaccard_pairs", "dedup_clusters",
+    "jaccard_pairs", "dedup_clusters", "line_dedup",
 ]
 
 K_HASHES = 16       # minhash signature length
@@ -395,6 +395,69 @@ def dedup_clusters(docs: DataFrame, edges: DataFrame | None = None,
             .select("doc_id", F.col("lbl").alias("cluster_id"),
                     "cluster_size",
                     (F.col("doc_id") == F.col("lbl")).alias("is_keeper")))
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", delim: str = "\n",
+               min_docs: int = 2, min_chars: int = 4) -> DataFrame:
+    """Cross-document LINE deduplication (C4-style boilerplate removal).
+
+    Any line whose trimmed content appears in at least ``min_docs``
+    DISTINCT documents is removed from EVERY document (C4 removed lines
+    occurring ≥3× in the corpus; Dolma/CCNet dedup paragraphs the same
+    way). The symmetric remove-from-all rule — rather than keep-first —
+    is deliberate for a distributed engine: it needs no global document
+    order, so the result is deterministic under any partitioning and
+    identical across re-runs/resumes. Lines shorter than ``min_chars``
+    after trimming (blank lines, list bullets, lone digits) are never
+    removed — they carry structure, not content.
+
+    Output, one row per input document (docs with every line removed
+    survive with ``clean_text = ''``):
+
+        (doc_id, clean_text, n_lines, n_kept)
+
+    Plan shape (crawl-scale): posexplode lines → the duplicated-line set
+    is ``groupBy(line_hash, doc).count → groupBy(line_hash).count`` —
+    both map-side combinable, so a boilerplate line in 10⁸ docs collapses
+    to one row per map task before either shuffle — then a LEFT join of
+    the exploded lines against that (small, boilerplate-only) set and a
+    per-document reassembly groupBy. Exactly one full shuffle of the
+    corpus lines (the reassembly); the dup-set join key is the line hash,
+    which AQE broadcasts when the boilerplate set is small. All JVM-side
+    — md5/trim/concat_ws, no Python.
+
+    ``delim`` is a regex (Spark ``split``); the default splits on
+    newlines. Reassembly rejoins with the literal first character of a
+    whitespace delim or ``'\\n'`` otherwise — callers with a non-trivial
+    regex delim should treat ``clean_text`` as normalized output.
+    """
+    joiner = delim if delim in ("\n", " ", "\t") else "\n"
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        # NULL text → one empty line (not a vanished document): posexplode
+        # of a NULL array would silently drop the doc from the output.
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             delim, -1))
+        .alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.encode(F.trim(F.col("line")), "utf-8")))
+    dup = (lines
+           .where(F.length(F.trim(F.col("line"))) >= min_chars)
+           .groupBy("lh", "doc_id").agg(F.count(F.lit(1)).alias("_c"))
+           .groupBy("lh").agg(F.count(F.lit(1)).alias("ndocs"))
+           .where(F.col("ndocs") >= min_docs)
+           .select("lh", F.lit(True).alias("is_dup")))
+    flagged = (lines.join(dup, "lh", "left")
+               .select("doc_id", "pos", "line",
+                       F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "line", "is_dup"))),
+        lambda x: ~x["is_dup"])
+    return (flagged.groupBy("doc_id").agg(
+        F.concat_ws(joiner, F.transform(kept, lambda x: x["line"]))
+        .alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(~F.col("is_dup"), 1).otherwise(0)).alias("n_kept")))
 
 
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",

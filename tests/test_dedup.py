@@ -397,3 +397,38 @@ def test_dedup_clusters_external_edges_source(spark, docs):
            dedup.dedup_clusters(docs, edges=edges).collect()}
     assert out[0].cluster_id == out[1].cluster_id   # exact dups collapse
     assert out[3].cluster_size == 1
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """C4-style rule: a line in >= min_docs distinct docs vanishes from
+    every doc; short lines and unique lines survive; a doc reduced to
+    nothing keeps its row with clean_text=''."""
+    footer = "subscribe to our newsletter today"
+    rows = [
+        (0, f"unique opening line\n{footer}\nok"),       # 'ok' < 4 chars
+        (1, f"another distinct line\n{footer}"),
+        (2, footer),                                     # only boilerplate
+        (3, None),                                       # fetch-failed doc
+        # footer twice in ONE doc elsewhere must not count as 2 docs:
+        (4, "solo doc line\nrepeated inside\nrepeated inside"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.line_dedup(docs).collect()}
+    assert len(out) == 5                                 # null-text row kept
+    assert out[0].clean_text == "unique opening line\nok"
+    assert out[0].n_lines == 3 and out[0].n_kept == 2
+    assert out[1].clean_text == "another distinct line"
+    assert out[2].clean_text == "" and out[2].n_kept == 0
+    assert out[3].clean_text == "" and out[3].n_lines == 1
+    # within-doc repetition alone is NOT cross-doc boilerplate
+    assert out[4].n_kept == 3
+
+
+def test_line_dedup_min_chars_guard(spark):
+    """Structural short lines (bullets, blanks) are never removed even
+    when they repeat across every doc."""
+    docs = spark.createDataFrame(
+        [(i, "-\n\nlong shared content line") for i in range(3)],
+        "doc_id long, text string")
+    out = dedup.line_dedup(docs, min_docs=2).collect()
+    assert all(r.clean_text == "-\n" and r.n_kept == 2 for r in out)

@@ -197,3 +197,20 @@ def test_dedup_clusters_joins_are_keyed(spark):
     plan = A.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_line_dedup_dup_set_aggregates_map_side(spark):
+    """The duplicated-line set must come from partial (map-side combinable)
+    aggregates — a Window.partitionBy(line) count would fan every copy of
+    a hot boilerplate line into one task before dropping it (the jaccard
+    df-cap lesson). The whole job stays JVM-side with no Python eval and
+    no cartesian step; the only full line-shuffle is the per-doc
+    reassembly groupBy."""
+    from html_parser_spark.functions import dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = dedup.line_dedup(docs, delim=" table ", min_docs=2)
+    plan = A.formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    assert "partial_count" in plan, plan
