@@ -348,6 +348,18 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs)
 
 
+def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # width=5 on the word-soup corpus gives a realistic ~9% duplicated-
+    # window rate (width=50 — the paper's — needs real prose lengths).
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dup_span_stats(docs, width=5)
+
+
+def _q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.ngram_counts(docs, n=2, min_count=2)
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documents.text is single-line by construction (TESTDATA.md), so the
     # demo segments on a surrogate delimiter (' table ' recurs enough for
@@ -491,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "line_dedup": _q_line_dedup,
+        "dup_span_stats": _q_dup_span_stats,
+        "ngram_counts": _q_ngram_counts,
         "dedup_clusters": _q_dedup_clusters,
         "pii_scrub": _q_pii_scrub,
         "corpus_filter": _q_corpus_filter,
@@ -1157,6 +1171,51 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             WHERE ROUND(CAST(n_common AS DOUBLE)
                         / (n_a + n_b - n_common), 6) >= 0.1
+        """,
+        "dup_span_stats": r"""
+            -- ExactSubstr detection twin: 5-token windows, duplicated =
+            -- hash occurs >= 2 times anywhere (within- or cross-doc).
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+              FROM documents),
+            win AS (
+              SELECT doc_id,
+                     md5(array_to_string(
+                         list_slice(toks, CAST(i AS BIGINT),
+                                    CAST(i AS BIGINT) + 4), ' ')) AS wh
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 5 + 2)) AS i
+                    FROM tok WHERE len(toks) >= 5)),
+            dup AS (
+              SELECT wh FROM (SELECT wh, COUNT(*) AS occ FROM win
+                              GROUP BY wh)
+              WHERE occ >= 2),
+            agg AS (
+              SELECT w.doc_id, COUNT(*) AS n_windows,
+                     SUM(CASE WHEN d.wh IS NOT NULL THEN 1 ELSE 0 END)
+                         AS n_dup
+              FROM win w LEFT JOIN dup d USING (wh)
+              GROUP BY w.doc_id)
+            SELECT doc.doc_id,
+                   CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_windows,
+                   ROUND(CAST(COALESCE(a.n_dup, 0) AS DOUBLE)
+                         / GREATEST(COALESCE(a.n_windows, 0), 1), 6)
+                       AS dup_frac
+            FROM documents doc LEFT JOIN agg a USING (doc_id)
+        """,
+        "ngram_counts": r"""
+            WITH tok AS (
+              SELECT regexp_extract_all(lower(text), '\w+') AS toks
+              FROM documents),
+            grams AS (
+              SELECT array_to_string(
+                         list_slice(toks, CAST(i AS BIGINT),
+                                    CAST(i AS BIGINT) + 1), ' ') AS gram
+              FROM (SELECT toks, unnest(range(1, len(toks) - 2 + 2)) AS i
+                    FROM tok WHERE len(toks) >= 2))
+            SELECT gram, COUNT(*) AS n_occurrences
+            FROM grams GROUP BY gram HAVING COUNT(*) >= 2
         """,
         "line_dedup": """
             -- C4-style cross-doc line dedup, surrogate delim ' table '

@@ -32,7 +32,7 @@ from .textops import char_shingles
 __all__ = [
     "minhash_signature", "minhash_bands", "minhash_lsh_pairs",
     "simhash16", "simhash64", "simhash64_table", "simhash_pairs",
-    "jaccard_pairs", "dedup_clusters", "line_dedup",
+    "jaccard_pairs", "dedup_clusters", "line_dedup", "dup_span_stats",
 ]
 
 K_HASHES = 16       # minhash signature length
@@ -458,6 +458,60 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
         .alias("clean_text"),
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.when(~F.col("is_dup"), 1).otherwise(0)).alias("n_kept")))
+
+
+def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", width: int = 50,
+                   min_occurrences: int = 2) -> DataFrame:
+    """ExactSubstr duplicated-span DETECTION (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    method, which dedups exact token spans of 50 tokens).
+
+    Every run of ``width`` consecutive word tokens is a span candidate; a
+    span is DUPLICATED when its content hash occurs ``min_occurrences``+
+    times anywhere in the corpus — within- OR cross-document, the paper's
+    semantics (a suffix-array hit doesn't care which document the other
+    copy lives in). Output is the per-document span-duplication profile
+    used to filter or re-weight docs:
+
+        (doc_id, n_windows, n_dup_windows, dup_frac)
+
+    Docs with fewer than ``width`` tokens have zero windows and
+    ``dup_frac = 0.0`` (kept, not dropped). The paper's full algorithm
+    also REMOVES the duplicated bytes; span surgery is corpus-policy
+    (remove vs drop-doc vs down-weight), so this operator emits the
+    decision inputs and leaves the cut to the caller.
+
+    Plan shape (crawl-scale): per-doc window hashing is a pure projection
+    (tokens materialized once, each window one md5); the duplicated-hash
+    set is ONE map-side-combinable ``groupBy(hash).count`` — a span
+    repeated 10⁸ times collapses to one row per map task — then a left
+    join back and a per-doc reassembly groupBy. The same two-shuffle
+    shape as :func:`line_dedup`, with the window hash as the key.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"),
+                                F.lit(0))
+    grams = F.when(
+        F.size(toks) >= width,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - width + 1),
+            lambda i: F.md5(F.encode(
+                F.concat_ws(" ", F.slice(toks, i, width)), "utf-8"))),
+    ).otherwise(F.array().cast("array<string>"))
+    win = docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode_outer(grams).alias("wh"))
+    dup = (win.where(F.col("wh").isNotNull())
+           .groupBy("wh").agg(F.count(F.lit(1)).alias("occ"))
+           .where(F.col("occ") >= min_occurrences)
+           .select("wh", F.lit(True).alias("is_dup")))
+    flagged = win.join(dup, "wh", "left")
+    n_dup = F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+    n_win = F.count(F.col("wh"))
+    return (flagged.groupBy("doc_id").agg(
+        n_win.alias("n_windows"),
+        n_dup.alias("n_dup_windows"),
+        F.round(n_dup.cast("double") / F.greatest(n_win, F.lit(1)), 6)
+        .alias("dup_frac")))
 
 
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",

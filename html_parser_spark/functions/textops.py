@@ -13,7 +13,7 @@ __all__ = [
     "token_count", "ws_token_count", "bpe_token_count", "word_hits",
     "langid", "quality_score", "char_shingles", "doc_fingerprint",
     "position_hashes", "winnow_fingerprint", "repetition_signals",
-    "hash_sample", "contamination_flags",
+    "hash_sample", "contamination_flags", "ngram_counts",
     "EN_STOPWORDS", "ES_STOPWORDS", "LANG_STOPWORDS",
 ]
 
@@ -279,3 +279,32 @@ def contamination_flags(docs: "DataFrame", probes: "DataFrame",
                     F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
                     (F.coalesce("n_hits", F.lit(0)) > 0)
                     .alias("contaminated")))
+
+
+def ngram_counts(docs: "DataFrame", text_col: str = "text", n: int = 2,
+                 min_count: int = 2) -> "DataFrame":
+    """Corpus-level word n-gram vocabulary: ``(gram, n_occurrences)`` for
+    every n-gram of word tokens occurring at least ``min_count`` times —
+    the counting pass under tokenizer/vocabulary induction (BPE-style
+    merges rank by exactly these pair counts) and phrase-table mining.
+
+    Counts are OCCURRENCES, not document frequency: repeats inside one
+    document count, as tokenizer training sees them.
+
+    Plan shape (crawl-scale): per-doc n-gram projection (tokens
+    materialized once per doc, each gram one ``slice``+``concat_ws``) →
+    explode → ONE map-side-combinable groupBy — a Zipf-head gram
+    collapses to one row per map task before the only shuffle. The
+    ``min_count`` filter runs post-aggregate (HAVING), where the hot
+    grams are already one row each.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit(_TOKEN_PATTERN), F.lit(0))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select(F.explode(grams).alias("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .where(F.col("n_occurrences") >= min_count))

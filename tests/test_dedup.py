@@ -432,3 +432,44 @@ def test_line_dedup_min_chars_guard(spark):
         "doc_id long, text string")
     out = dedup.line_dedup(docs, min_docs=2).collect()
     assert all(r.clean_text == "-\n" and r.n_kept == 2 for r in out)
+
+
+def test_dup_span_stats_ground_truth(spark):
+    """ExactSubstr detection: a 5-token span shared by two docs marks the
+    matching windows in BOTH; a within-doc repeat also counts (the paper
+    hashes spans corpus-wide, not per-pair); short docs keep their row
+    with zero windows."""
+    span = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, f"intro words here {span} trailing bits"),
+        (1, f"{span} totally different ending material"),
+        (2, f"{span} filler {span}"),            # within-doc repeat
+        (3, "too short"),                        # < width tokens
+        (4, "one two three four five six seven"),  # unique spans only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.dup_span_stats(docs, width=5).collect()}
+    assert len(out) == 5
+    # doc 0: 10 tokens → 6 windows, exactly one is the shared span
+    assert out[0].n_windows == 6 and out[0].n_dup_windows == 1
+    assert out[0].dup_frac == 0.166667
+    assert out[1].n_dup_windows == 1
+    # doc 2: 11 tokens → 7 windows; the two exact-span copies are dups
+    assert out[2].n_windows == 7 and out[2].n_dup_windows == 2
+    assert out[3].n_windows == 0 and out[3].dup_frac == 0.0
+    assert out[4].n_dup_windows == 0
+
+
+def test_ngram_counts_ground_truth(spark):
+    """Bigram vocabulary counts: occurrences (not doc frequency), HAVING
+    min_count, sub-n docs contribute nothing."""
+    from html_parser_spark.functions import textops
+    docs = spark.createDataFrame(
+        [(0, "big data big data"), (1, "big data pipeline"), (2, "big")],
+        "doc_id long, text string")
+    out = {r.gram: r.n_occurrences for r in
+           textops.ngram_counts(docs, n=2, min_count=2).collect()}
+    # 'big data' occurs 2x in doc 0 (overlapping windows) + 1x in doc 1
+    assert out == {"big data": 3, "data big": 1} or out == {"big data": 3}
+    assert out["big data"] == 3 and "data pipeline" not in out

@@ -214,3 +214,30 @@ def test_line_dedup_dup_set_aggregates_map_side(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_dup_span_stats_dup_set_aggregates_map_side(spark):
+    """ExactSubstr detection's duplicated-hash set must be a partial
+    (map-side combinable) aggregate over the window hash — a Zipf-head
+    span repeated 10^8 times collapses to one row per map task before
+    the shuffle. JVM-only, no cartesian step."""
+    from html_parser_spark.functions import dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = dedup.dup_span_stats(docs, width=5)
+    plan = A.formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_ngram_counts_single_combinable_shuffle(spark):
+    """The vocabulary count is ONE groupBy with map-side partial
+    aggregation — exactly one Exchange in the whole plan."""
+    from html_parser_spark.functions import textops
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = textops.ngram_counts(docs, n=2, min_count=2)
+    plan = A.formatted_plan(df)
+    assert A.n_exchanges(df) == 1, plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
