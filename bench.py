@@ -122,17 +122,26 @@ def ensure_corpus(spark) -> str:
     return path
 
 
-def run_extract(spark, path: str, repeats: int = 2) -> tuple[float, int]:
+def run_extract(spark, path: str, repeats: int = 2,
+                subset_mod: int | None = None) -> tuple[float, int]:
     """Timed: scan parquet pages → map-only extract → count.
 
     One warm pass, then best-of-``repeats`` — min is the standard
     noise-robust throughput estimator on a shared box (GC, page cache and
-    turbo transitions only ever make a run slower, not faster)."""
+    turbo transitions only ever make a run slower, not faster).
+
+    ``subset_mod``: keep only pages with ``xxhash64(url) % mod == 0`` — a
+    deterministic 1/mod sample used by the default-run north pair (same
+    input at both core levels is what the efficiency ratio needs, not the
+    full corpus)."""
     from html_parser_spark.job import pipeline as P
 
     def job():
-        return (P.extract_pages(spark.read.parquet(path))
-                .where("status = 'ok'"))
+        from pyspark.sql import functions as F
+        df = spark.read.parquet(path)
+        if subset_mod:
+            df = df.where(F.pmod(F.xxhash64("url"), subset_mod) == 0)
+        return P.extract_pages(df).where("status = 'ok'")
 
     n_ok = job().count()                       # warm pass
     best = float("inf")
@@ -150,12 +159,24 @@ def _level_child() -> None:
     small level borrows the idle box's cache/bandwidth headroom and the
     comparison under-reports real multi-node scaling."""
     cores = int(sys.argv[sys.argv.index("--level") + 1])
+    subset_mod = (int(sys.argv[sys.argv.index("--subset-mod") + 1])
+                  if "--subset-mod" in sys.argv else None)
+    repeats = (int(sys.argv[sys.argv.index("--repeats") + 1])
+               if "--repeats" in sys.argv else 3)
     os.sched_setaffinity(0, set(range(cores)))
     spark = _session(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    dt, n_ok = run_extract(spark, corpus_path(), repeats=3)
+    if subset_mod:
+        from pyspark.sql import functions as F
+        n_in = (spark.read.parquet(corpus_path())
+                .where(F.pmod(F.xxhash64("url"), subset_mod) == 0).count())
+    else:
+        n_in = N_PAGES
+    dt, n_ok = run_extract(spark, corpus_path(), repeats=repeats,
+                           subset_mod=subset_mod)
     print(json.dumps({"sec": round(dt, 3),
-                      "docs_per_sec": round(N_PAGES / dt, 1),
+                      "docs_per_sec": round(n_in / dt, 1),
+                      "n_pages": n_in,
                       "n_ok": n_ok}))
     spark.stop()
 
@@ -200,6 +221,36 @@ def _run_scaling_levels() -> dict:
     return result
 
 
+def _run_north_pair() -> dict:
+    """Reduced N→4N evidence for the DEFAULT artifact: the north rule's
+    two-parallelism criterion (same input, 2 vs 8 pinned cores) must be
+    visible in every recorded bench JSON, not only in manual --scaling
+    runs. Uses a deterministic 1/4 url-hash subset of the corpus and
+    best-of-2 per level (~1 min added); the full 2/8/32 protocol with
+    best-of-3 over the whole corpus stays behind --scaling. The 2→8 pair
+    is the representative proxy — this VM's host-capped memory bandwidth
+    flattens any 32-core leg (BASELINE.md), which added machines would
+    not share."""
+    n_cpus = os.cpu_count() or 2
+    levels = {}
+    for cores in (c for c in (2, 8) if c <= n_cpus):
+        out = _child(["--level", str(cores), "--subset-mod", "4",
+                      "--repeats", "2"])
+        levels[str(cores)] = json.loads(out.strip().splitlines()[-1])
+    result = {
+        "levels": levels,
+        "protocol": "per-level subprocess pinned to its own N-CPU set, "
+                    "fresh JVM, no other JVM alive; deterministic 1/4 "
+                    "url-hash corpus subset, one warm pass then "
+                    "best-of-2; full-corpus 2/8/32 via --scaling",
+    }
+    if "2" in levels and "8" in levels:
+        result["efficiency_2_to_8"] = round(
+            levels["8"]["docs_per_sec"]
+            / (4 * levels["2"]["docs_per_sec"]), 3)
+    return result
+
+
 def main() -> None:
     if "--level" in sys.argv:
         _level_child()
@@ -223,7 +274,11 @@ def main() -> None:
     control_ratio = round(control / CONTROL_REF, 3)
 
     # Scaling levels BEFORE the parent JVM exists (see _run_scaling_levels).
+    # The default run carries the reduced north pair so BENCH_r{N}.json is
+    # self-contained on the two-parallelism criterion; --scaling replaces
+    # it with the full protocol.
     scaling_result = _run_scaling_levels() if scaling else None
+    north_pair = None if scaling else _run_north_pair()
 
     spark = _session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -284,6 +339,8 @@ def main() -> None:
         # Two N-to-4N pairs documented in BASELINE.md; see
         # _run_scaling_levels for the pinned-subprocess protocol.
         result["scaling"] = scaling_result
+    if north_pair is not None:
+        result["scaling_north_pair"] = north_pair
     print(json.dumps(result))
 
 
