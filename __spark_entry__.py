@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from html_parser_spark.functions import (
-    dedup, eventops, mediaops, pii, textops, vecops)
+    dedup, eventops, mediaops, packing, pii, textops, vecops)
 from html_parser_spark.job import pipeline as P
 from html_parser_spark.sources.media import media_from_documents
 from html_parser_spark.sources import synth as _synth
@@ -360,6 +360,24 @@ def _q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ngram_counts(docs, n=2, min_count=2)
 
 
+def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing offsets (two-pass distributed
+    prefix sum — functions/packing.py). bucket_width=64 so even sf0.001's
+    50 docs exercise the cross-bucket prefix join."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.seq_pack(docs, seq_len=2048, bucket_width=64)
+
+
+def _q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return packing.shard_assign(docs, n_shards=16)
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.tfidf_top_terms(docs, k=3)
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documents.text is single-line by construction (TESTDATA.md), so the
     # demo segments on a surrogate delimiter (' table ' recurs enough for
@@ -505,6 +523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "dup_span_stats": _q_dup_span_stats,
         "ngram_counts": _q_ngram_counts,
+        "seq_pack": _q_seq_pack,
+        "shard_assign": _q_shard_assign,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
         "pii_scrub": _q_pii_scrub,
         "corpus_filter": _q_corpus_filter,
@@ -1203,6 +1224,61 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(COALESCE(a.n_windows, 0), 1), 6)
                        AS dup_frac
             FROM documents doc LEFT JOIN agg a USING (doc_id)
+        """,
+        "seq_pack": r"""
+            -- packing.seq_pack twin: the distributed two-pass prefix sum
+            -- collapses to one window cumsum in single-node SQL.
+            WITH d AS (
+              SELECT doc_id,
+                     (len(regexp_extract_all(text,
+                          '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) + 1)::BIGINT
+                         AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0)::BIGINT
+                         AS start_offset
+              FROM d)
+            SELECT doc_id, n_tokens, start_offset,
+                   (start_offset + n_tokens)::BIGINT AS end_offset,
+                   (start_offset // 2048)::BIGINT AS first_block,
+                   ((start_offset + n_tokens - 1) // 2048)::BIGINT
+                       AS last_block,
+                   ((start_offset + n_tokens - 1) // 2048
+                    - start_offset // 2048 + 1)::BIGINT AS n_blocks
+            FROM o
+        """,
+        "shard_assign": r"""
+            SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                       % 16 AS shard,
+                   COUNT(*) AS n_docs,
+                   SUM(length(text))::BIGINT AS n_chars_total
+            FROM documents GROUP BY 1
+        """,
+        "tfidf_top_terms": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+'))
+                         AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM tok GROUP BY doc_id, term),
+            df AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     ROUND(tf.tf * LN((SELECT COUNT(*) FROM documents)
+                                      ::DOUBLE / df.df), 6) AS score
+              FROM tf JOIN df USING (term))
+            SELECT doc_id, term, tf, df, score, rank
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score DESC, term ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 3
         """,
         "ngram_counts": r"""
             WITH tok AS (

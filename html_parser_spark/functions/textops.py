@@ -14,6 +14,7 @@ __all__ = [
     "langid", "quality_score", "char_shingles", "doc_fingerprint",
     "position_hashes", "winnow_fingerprint", "repetition_signals",
     "hash_sample", "contamination_flags", "ngram_counts",
+    "tfidf_top_terms",
     "EN_STOPWORDS", "ES_STOPWORDS", "LANG_STOPWORDS",
 ]
 
@@ -308,3 +309,45 @@ def ngram_counts(docs: "DataFrame", text_col: str = "text", n: int = 2,
     return (docs.select(F.explode(grams).alias("gram"))
             .groupBy("gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
             .where(F.col("n_occurrences") >= min_count))
+
+
+def tfidf_top_terms(docs: "DataFrame", text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5) -> "DataFrame":
+    """Top-``k`` TF-IDF terms per document — the keyword/topic-signal
+    pass a training-data mixer uses for domain tagging and near-topic
+    cluster balancing (public TF-IDF, natural-log IDF ``ln(N/df)``).
+
+    Returns ``(doc_id, term, tf, df, score, rank)``; ``score`` rounds to
+    6 decimals and the rank orders by ``(score DESC, term ASC)`` so the
+    DuckDB twin selects the identical rows.
+
+    Plan shape (crawl-scale): tokenize→explode once; term frequency is a
+    map-side-combinable groupBy on (doc, term); document frequency reuses
+    those already-aggregated rows (a second combinable groupBy on term —
+    Zipf-head terms are one row per map task before the shuffle); the
+    corpus size joins in-plan as a broadcast 1-row aggregate (no driver
+    ``.count()`` action); the final top-k Window partitions by doc_id —
+    parallel across documents, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(_TOKEN_PATTERN), F.lit(0)))
+        .alias("term")))
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    scored = (tf.join(df, "term")
+              .join(F.broadcast(n_total))
+              .withColumn(
+                  "score",
+                  F.round(F.col("tf") * F.log(
+                      F.col("n_total").cast("double") / F.col("df")), 6)))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("score").desc(), F.col("term").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term", "tf", "df", "score", "rank"))

@@ -241,3 +241,53 @@ def test_ngram_counts_single_combinable_shuffle(spark):
     assert A.n_exchanges(df) == 1, plan
     assert "partial_count" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_seq_pack_no_global_order_over_corpus(spark):
+    """The packing prefix sum must never run a corpus-wide single-
+    partition Window (the naive cumsum shape): the only SinglePartition
+    exchange sits above the map-side-combined per-bucket aggregate, the
+    full-width Window is partitioned by bucket, and the text column never
+    enters any Exchange (only 24-byte count rows shuffle)."""
+    from html_parser_spark.functions import packing
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = packing.seq_pack(docs, bucket_width=64)
+    plan = A.formatted_plan(df)
+    assert plan.count("SinglePartition") == 1, plan
+    # The corpus-wide window is partitioned by bkt and ordered by doc_id.
+    assert "windowspecdefinition(bkt" in plan, plan
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith(("(",)) and "Exchange" in block.splitlines()[0]:
+            assert "text#" not in block, block
+    # At runtime AQE's stage cache must dedup the two structurally-equal
+    # corpus subtrees: the expensive tokenize-and-count scan runs ONCE
+    # (the bucket-totals branch reads the reused shuffle output).
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_tfidf_aggregates_map_side_and_broadcasts_n(spark):
+    """TF and DF are both map-side-combinable groupBys (DF reuses the
+    already-aggregated TF rows), the corpus size joins as a broadcast
+    1-row aggregate (no driver count action), and the top-k Window is
+    partitioned per document — never a global sort."""
+    from html_parser_spark.functions import textops
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = textops.tfidf_top_terms(docs, k=3)
+    plan = A.formatted_plan(df)
+    assert "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "windowspecdefinition(doc_id" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_shard_assign_single_combinable_shuffle(spark):
+    """Shard balance stats: ONE Exchange (the n_shards-row groupBy),
+    partial aggregation before it."""
+    from html_parser_spark.functions import packing
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = packing.shard_assign(docs, n_shards=16)
+    plan = A.formatted_plan(df)
+    assert A.n_exchanges(df) == 1, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
