@@ -1,0 +1,199 @@
+"""Real pure-stdlib codec branches (functions/mediaops.py): PNG decode
+with all five scanline filters, PCM WAV decode, header-only dimension
+sniffing for BMP/PNG/GIF/JPEG."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from html_parser_spark.functions import mediaops
+
+
+# ---------------------------------------------------------------------------
+# PNG
+
+
+def _png_with_filters(pixels, filters):
+    """Encode top-down RGB(A) rows applying the given per-row filter type
+    (the encoder-side transform, spec §9) — exercises the decoder's
+    un-filtering, which encode_png (filter 0 only) cannot."""
+    height = len(pixels)
+    width = len(pixels[0])
+    bpp = len(pixels[0][0])
+    color = 2 if bpp == 3 else 6
+    stride = width * bpp
+    prev = bytearray(stride)
+    flat = bytearray()
+    for row, ftype in zip(pixels, filters):
+        line = bytearray()
+        for px in row:
+            line += bytes(px)
+        out = bytearray(line)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 1:
+                out[i] = (line[i] - a) & 0xFF
+            elif ftype == 2:
+                out[i] = (line[i] - b) & 0xFF
+            elif ftype == 3:
+                out[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (line[i] - pr) & 0xFF
+        flat.append(ftype)
+        flat += out
+        prev = line
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8,
+                                         color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(flat)))
+            + chunk(b"IEND", b""))
+
+
+def _gradient(width, height, bpp=3):
+    return [[tuple((x * 37 + y * 11 + ch * 5) % 256 for ch in range(bpp))
+             for x in range(width)] for y in range(height)]
+
+
+def test_png_roundtrip_filter0():
+    px = _gradient(5, 4)
+    img = mediaops.decode_image(mediaops.encode_png(px))
+    assert (img["width"], img["height"], img["mode"]) == (5, 4, "RGB")
+    assert img["pixels"] == px
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+def test_png_each_filter_type_unfilters_exactly(ftype):
+    px = _gradient(7, 5)
+    raw = _png_with_filters(px, [ftype] * 5)
+    assert mediaops.decode_image(raw)["pixels"] == px
+
+
+def test_png_mixed_filters_and_rgba():
+    px = _gradient(6, 5, bpp=4)
+    raw = _png_with_filters(px, [0, 1, 2, 3, 4])
+    img = mediaops.decode_image(raw)
+    assert img["mode"] == "RGBA"
+    assert img["pixels"] == px
+
+
+def test_png_rejects_unsupported_shapes():
+    # 16-bit depth
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+    raw = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)))
+    with pytest.raises(NotImplementedError):
+        mediaops.decode_image(raw)
+    # pixel stream shorter than IHDR promises
+    good = mediaops.encode_png(_gradient(4, 4))
+    with pytest.raises(ValueError):
+        mediaops.decode_image(_png_truncate_idat(good))
+
+
+def _png_truncate_idat(raw: bytes) -> bytes:
+    # rebuild with IDAT zlib stream of a SHORTER image than IHDR claims
+    pos = 8
+    out = bytearray(raw[:8])
+    while pos + 8 <= len(raw):
+        length, ctype = struct.unpack_from(">I4s", raw, pos)
+        data = raw[pos + 8:pos + 8 + length]
+        if ctype == b"IDAT":
+            data = zlib.compress(zlib.decompress(data)[:-4])
+            out += struct.pack(">I", len(data)) + ctype + data
+            out += struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        else:
+            out += raw[pos:pos + 12 + length]
+        pos += 12 + length
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WAV
+
+
+def test_wav_roundtrip_16bit():
+    samples = [0, 1000, -1000, 32767, -32768, 5, -5] * 100
+    raw = mediaops.encode_wav(samples, sample_rate=8000)
+    info = mediaops.decode_wav(raw)
+    assert info["n_channels"] == 1 and info["sample_width"] == 2
+    assert info["sample_rate"] == 8000
+    assert info["n_frames"] == len(samples)
+    assert info["duration_ms"] == round(len(samples) * 1000 / 8000, 3)
+    assert info["peak"] == 32768  # abs(-32768)
+    import math
+    expect_rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    assert info["rms"] == round(expect_rms, 6)
+
+
+def test_wav_8bit_and_stereo_first_channel():
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(1)
+        w.setframerate(4000)
+        # L channel 128+20, R channel 128-40 interleaved, unsigned 8-bit
+        w.writeframes(bytes([148, 88] * 50))
+    info = mediaops.decode_wav(buf.getvalue())
+    assert info["n_channels"] == 2 and info["sample_width"] == 1
+    assert info["peak"] == 20          # first channel only
+    assert info["rms"] == 20.0
+
+
+def test_wav_rejects_nonpcm_widths():
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(4000)
+        w.writeframes(b"\x00" * 40)
+    with pytest.raises(NotImplementedError):
+        mediaops.decode_wav(buf.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# Header-only dimensions
+
+
+def test_dimensions_bmp_png_gif_jpeg():
+    bmp = mediaops.encode_bmp([[(1, 2, 3)] * 13] * 7)
+    assert mediaops.image_dimensions(bmp) == {
+        "format": "bmp", "width": 13, "height": 7}
+    png = mediaops.encode_png(_gradient(31, 17))
+    assert mediaops.image_dimensions(png) == {
+        "format": "png", "width": 31, "height": 17}
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 3
+    assert mediaops.image_dimensions(gif) == {
+        "format": "gif", "width": 320, "height": 200}
+    # minimal JPEG: SOI + APP0 + SOF0(8x12) — dimensions sit in the SOF
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 8, 12) + b"\x03" + b"\x00" * 9)
+    assert mediaops.image_dimensions(b"\xff\xd8" + app0 + sof0) == {
+        "format": "jpeg", "width": 12, "height": 8}
+
+
+def test_dimensions_rejects_unknown_magic():
+    with pytest.raises(NotImplementedError):
+        mediaops.image_dimensions(b"RIFF....WEBP")
+    with pytest.raises(ValueError):
+        # JPEG with no SOF marker before the stream ends
+        mediaops.image_dimensions(b"\xff\xd8\xff\xe0" + struct.pack(">H", 4)
+                                  + b"\x00\x00")

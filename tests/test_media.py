@@ -43,7 +43,7 @@ def test_feature_extraction_matches_python(media):
 
 def test_real_decoders_are_clearly_stubbed():
     with pytest.raises(NotImplementedError):
-        mediaops.decode_image(b"\x89PNG...")
+        mediaops.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG pixels need PIL
     with pytest.raises(NotImplementedError):
         mediaops.sample_video_frames(b"\x00\x00\x00 ftypmp42")
 
@@ -94,7 +94,8 @@ def test_bmp_decode_real_codec_roundtrip():
 def test_bmp_decode_rejects_other_formats_and_truncation():
     from html_parser_spark.functions.mediaops import decode_image, encode_bmp
     import pytest
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
+        # PNG decode is real now: junk chunks fail the chunk parser.
         decode_image(b"\x89PNG\r\n\x1a\n" + b"0" * 64)
     with pytest.raises(ValueError):
         decode_image(b"BM" + b"\x00" * 10)           # truncated header

@@ -13,7 +13,10 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+    # NOT .cache()d: the session-wide cache manager would substitute
+    # InMemoryTableScan into every later test's plan over this path
+    # (test_plans' ReusedExchange pin would see cached scans instead).
+    return spark.read.parquet(f"{SF}/documents.parquet")
 
 
 def test_seq_pack_offsets_are_contiguous(spark, docs):

@@ -250,6 +250,8 @@ def test_seq_pack_no_global_order_over_corpus(spark):
     full-width Window is partitioned by bucket, and the text column never
     enters any Exchange (only 24-byte count rows shuffle)."""
     from html_parser_spark.functions import packing
+    spark.catalog.clearCache()  # a cached documents relation from another
+    # test file would swap InMemoryTableScan into this plan
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     df = packing.seq_pack(docs, bucket_width=64)
     plan = A.formatted_plan(df)
