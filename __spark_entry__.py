@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from html_parser_spark.functions import (
-    dedup, eventops, mediaops, packing, pii, textops, vecops)
+    corpusstats, dedup, eventops, mediaops, packing, pii, textops, vecops)
 from html_parser_spark.job import pipeline as P
 from html_parser_spark.sources.media import media_from_documents
 from html_parser_spark.sources import synth as _synth
@@ -360,6 +360,16 @@ def _q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ngram_counts(docs, n=2, min_count=2)
 
 
+def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpusstats.corpus_mix(docs, key_col="source")
+
+
+def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpusstats.length_histogram(docs)
+
+
 def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk packing offsets (two-pass distributed
     prefix sum — functions/packing.py). bucket_width=64 so even sf0.001's
@@ -526,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": _q_seq_pack,
         "shard_assign": _q_shard_assign,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "corpus_mix": _q_corpus_mix,
+        "length_histogram": _q_length_histogram,
         "dedup_clusters": _q_dedup_clusters,
         "pii_scrub": _q_pii_scrub,
         "corpus_filter": _q_corpus_filter,
@@ -1224,6 +1236,42 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(COALESCE(a.n_windows, 0), 1), 6)
                        AS dup_frac
             FROM documents doc LEFT JOIN agg a USING (doc_id)
+        """,
+        "corpus_mix": r"""
+            WITH per AS (
+              SELECT source AS grp, COUNT(*) AS c
+              FROM documents GROUP BY source)
+            SELECT SUM(c)::BIGINT AS n_docs,
+                   COUNT(*) AS n_groups,
+                   ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_share,
+                   ROUND(-SUM(c * LN(c)) / SUM(c) + LN(SUM(c)), 6)
+                       AS entropy,
+                   ROUND((SUM(c * c) / (SUM(c) * SUM(c)))::DOUBLE, 6)
+                       AS hhi
+            FROM per
+        """,
+        "length_histogram": r"""
+            -- corpusstats.length_histogram twin: float floor(log2)
+            -- corrected against the exact 2^b <= n < 2^(b+1) integer
+            -- edges, exactly as the Spark side does.
+            WITH d AS (SELECT length(text)::BIGINT AS n FROM documents),
+            r AS (SELECT n,
+                         CASE WHEN n > 0
+                              THEN CAST(FLOOR(LOG2(n)) AS INT)
+                              ELSE 0 END AS raw
+                  FROM d),
+            b AS (SELECT CASE
+                    WHEN n <= 0 THEN -1
+                    WHEN (1::BIGINT << (raw + 1)) <= n THEN raw + 1
+                    WHEN (1::BIGINT << raw) > n THEN raw - 1
+                    ELSE raw END::BIGINT AS bucket
+                  FROM r)
+            SELECT bucket,
+                   CASE WHEN bucket < 0 THEN 0
+                        ELSE (1::BIGINT << bucket::INT) END::BIGINT
+                       AS lo_chars,
+                   COUNT(*) AS n_docs
+            FROM b GROUP BY bucket
         """,
         "seq_pack": r"""
             -- packing.seq_pack twin: the distributed two-pass prefix sum

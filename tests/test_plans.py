@@ -293,3 +293,18 @@ def test_shard_assign_single_combinable_shuffle(spark):
     plan = A.formatted_plan(df)
     assert A.n_exchanges(df) == 1, plan
     assert "partial_count" in plan and "partial_sum" in plan, plan
+
+
+def test_corpusstats_single_combinable_shuffle(spark):
+    """corpus_mix and length_histogram: ONE Exchange each (the groupBy),
+    map-side partial aggregation before it, no Python in the plan."""
+    from html_parser_spark.functions import corpusstats
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (corpusstats.corpus_mix(docs),
+               corpusstats.length_histogram(docs)):
+        plan = A.formatted_plan(df)
+        assert "partial_count" in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    # corpus_mix adds the O(n_groups) single-row reduction on top of the
+    # per-group exchange; the histogram is exactly one shuffle.
+    assert A.n_exchanges(corpusstats.length_histogram(docs)) == 1
