@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import shutil
 import sys
 import time
@@ -58,6 +59,29 @@ def _session(cores: int):
 # contention control — re-pin when the kernel or corpus renderer changes
 # (VERDICT r2 task 1; measured best-of-3 on 200 filler-30 pages).
 CONTROL_REF = float(os.environ.get("BENCH_CONTROL_REF", "360"))
+
+# Pinned idle-box 8-process kernel rate for the MULTI-CORE control: host
+# contention can collapse aggregate memory bandwidth 2-4x while leaving
+# single-thread rates untouched (observed: control_ratio 0.996 alongside a
+# 4x suite collapse), so the single-thread control alone cannot clear an
+# artifact. Band is wider (30%) than the single-thread one: multi-core
+# trial noise is ~±10% even idle, and the signal this catches is 2-4x.
+CONTROL8_REF = float(os.environ.get("BENCH_CONTROL8_REF", "1800"))
+
+
+def multicore_control() -> float:
+    """8-process pinned kernel rate (docs/s), Spark-free, best-of-3 passes
+    inside one warm pool — scripts/mp_bandwidth_control.py run as a
+    subprocess (spawn-safe; ~2-3 s). Run BEFORE any JVM exists."""
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "scripts", "mp_bandwidth_control.py"),
+         "--pages", "480", "--procs", "8", "--filler", str(FILLER),
+         "--repeats", "3"],
+        capture_output=True, text=True, check=True)
+    return float(json.loads(out.stdout.strip().splitlines()[-1])
+                 ["levels"]["8"])
 
 
 def single_thread_control(n: int = 200) -> float:
@@ -272,6 +296,8 @@ def main() -> None:
     # the idle process, compared against the pinned idle-box reference.
     control = single_thread_control()
     control_ratio = round(control / CONTROL_REF, 3)
+    control8 = multicore_control()
+    control8_ratio = round(control8 / CONTROL8_REF, 3)
 
     # Scaling levels BEFORE the parent JVM exists (see _run_scaling_levels).
     # The default run carries the reduced north pair so BENCH_r{N}.json is
@@ -332,7 +358,14 @@ def main() -> None:
         "control_docs_per_sec": control,
         "control_ref": CONTROL_REF,
         "control_ratio": control_ratio,
-        "contention_flag": abs(control_ratio - 1.0) > 0.2,
+        "control8_docs_per_sec": control8,
+        "control8_ref": CONTROL8_REF,
+        "control8_ratio": control8_ratio,
+        # Flags when EITHER control deviates: single-thread (20% band)
+        # catches per-core slowdowns; 8-process (30% band) catches the
+        # aggregate-bandwidth collapses that leave 1-thread rates intact.
+        "contention_flag": (abs(control_ratio - 1.0) > 0.2
+                            or abs(control8_ratio - 1.0) > 0.3),
     }
 
     if scaling_result is not None:

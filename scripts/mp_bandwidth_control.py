@@ -55,18 +55,28 @@ def _work(args: tuple) -> tuple:
     return n_ok, dt
 
 
-def run_level(n_pages: int, procs: int, filler: int) -> float:
+def run_level(n_pages: int, procs: int, filler: int,
+              repeats: int = 1) -> float:
+    """Aggregate docs/s at ``procs`` pinned workers. ``repeats`` re-times
+    the same shards inside the one warm pool and keeps the best pass —
+    noise (scheduler, page-cache, neighbor VMs) only ever slows a pass,
+    so min-time/max-rate is the steady-state estimator; spawn/import cost
+    never pollutes the measurement either way."""
     per = n_pages // procs
     jobs = [(i * per, per, i % os.cpu_count(), filler)
             for i in range(procs)]
     ctx = mp.get_context("spawn")
+    best = 0.0
     with ctx.Pool(procs) as pool:
         # Warm imports once so compile time isn't in the measurement.
         pool.map(_work, [(0, 1, i % os.cpu_count(), filler)
                          for i in range(procs)])
-        res = pool.map(_work, jobs)
-    # Workers overlap (same dispatch); the slowest shard bounds wall time.
-    return per * procs / max(dt for _, dt in res)
+        for _ in range(max(1, repeats)):
+            res = pool.map(_work, jobs)
+            # Workers overlap (same dispatch); the slowest shard bounds
+            # wall time.
+            best = max(best, per * procs / max(dt for _, dt in res))
+    return best
 
 
 def main() -> None:
@@ -75,11 +85,15 @@ def main() -> None:
     ap.add_argument("--procs", default="8,32")
     ap.add_argument("--filler", type=int, default=30,
                     help="filler blocks per page (30 = bench-corpus size)")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="timed passes per level inside one warm pool; "
+                         "best pass wins (noise only slows a pass)")
     args = ap.parse_args()
     levels = [int(x) for x in args.procs.split(",")]
     rates = {}
     for p in levels:
-        rates[str(p)] = round(run_level(args.pages, p, args.filler), 1)
+        rates[str(p)] = round(
+            run_level(args.pages, p, args.filler, args.repeats), 1)
     eff = {}
     for a, b in zip(levels, levels[1:]):
         eff[f"{a}->{b}"] = round(
