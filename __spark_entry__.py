@@ -1246,8 +1246,8 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_share,
                    ROUND(-SUM(c * LN(c)) / SUM(c) + LN(SUM(c)), 6)
                        AS entropy,
-                   ROUND((SUM(c * c) / (SUM(c) * SUM(c)))::DOUBLE, 6)
-                       AS hhi
+                   ROUND(SUM(c::DOUBLE * c)
+                         / (SUM(c)::DOUBLE * SUM(c)), 6) AS hhi
             FROM per
         """,
         "length_histogram": r"""
@@ -1261,7 +1261,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0 END AS raw
                   FROM d),
             b AS (SELECT CASE
-                    WHEN n <= 0 THEN -1
+                    WHEN n IS NULL OR n <= 0 THEN -1
                     WHEN (1::BIGINT << (raw + 1)) <= n THEN raw + 1
                     WHEN (1::BIGINT << raw) > n THEN raw - 1
                     ELSE raw END::BIGINT AS bucket

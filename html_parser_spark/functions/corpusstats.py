@@ -39,15 +39,19 @@ def corpus_mix(docs: DataFrame, key_col: str = "source") -> DataFrame:
                 / F.sum("c"), 6).alias("top_share"),
         F.round(-F.sum(F.col("c") * F.log(F.col("c")))
                 / F.sum("c") + F.log(F.sum("c")), 6).alias("entropy"),
-        F.round(F.sum(F.col("c") * F.col("c")).cast("double")
-                / (F.sum("c") * F.sum("c")), 6).alias("hhi"),
+        # Squares and the total² go through double BEFORE multiplying:
+        # long*long wraps (or ANSI-throws) past ~3e9 docs — inside the
+        # 10^12-doc design scale. HHI is a ratio statistic; double
+        # precision is exact at test scale and ample beyond it.
+        F.round(F.sum(F.col("c").cast("double") * F.col("c"))
+                / (F.sum("c").cast("double") * F.sum("c")), 6).alias("hhi"),
     )
 
 
 def length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Log2-bucketed document-length distribution:
     ``(bucket, lo_chars, n_docs)`` where ``bucket`` is
-    ``floor(log2(n_chars))`` (−1 for empty docs) and ``lo_chars`` the
+    ``floor(log2(n_chars))`` (−1 for NULL/empty docs) and ``lo_chars`` the
     bucket's lower edge. The seq-length/packing planner's standard input;
     ONE map-side-combinable groupBy on an integer key.
     """
@@ -64,7 +68,7 @@ def length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
                            "CAST(FLOOR(LOG2(n)) AS INT) ELSE 0 END")
                     .alias("raw"))
             .select(F.expr(
-                "CAST(CASE WHEN n <= 0 THEN -1 "
+                "CAST(CASE WHEN n IS NULL OR n <= 0 THEN -1 "
                 "WHEN SHIFTLEFT(1L, raw + 1) <= n THEN raw + 1 "
                 "WHEN SHIFTLEFT(1L, raw) > n THEN raw - 1 "
                 "ELSE raw END AS BIGINT)").alias("bucket"))

@@ -44,14 +44,10 @@ _M = (1 << 31) - 1  # modulus for the derived permutation hashes
 
 
 def _shingle_hash(s: Column) -> Column:
-    """ONE integer hash per shingle: 60-bit md5 prefix via conv, reduced
-    mod M. `conv(substr(md5(s),1,15),16,10)::bigint` produces identical
-    values to DuckDB's `('0x'||substr(md5(s),1,15))::BIGINT` (verified)."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(F.encode(s, "utf-8")), 1, 15), 16, 10)
-        .cast("bigint"),
-        F.lit(_M),
-    )
+    """ONE integer hash per shingle: 60-bit md5 prefix reduced mod M —
+    the shared DuckDB-replayable idiom (functions/hashutil.py)."""
+    from .hashutil import md5_mod
+    return md5_mod(s, _M)
 
 
 def minhash_signature(col: str = "text", k: int = K_HASHES) -> Column:

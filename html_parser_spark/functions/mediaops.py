@@ -138,6 +138,8 @@ def _decode_png(raw: bytes) -> dict:
         if len(data) < length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"PNG IHDR length {length} != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat += data
@@ -153,7 +155,10 @@ def _decode_png(raw: bytes) -> dict:
             f"(depth={depth}, color_type={color}, interlace={interlace})")
     bpp = 3 if color == 2 else 4
     stride = width * bpp
-    flat = zlib.decompress(bytes(idat))
+    try:  # missing IDAT / corrupt deflate must keep the ValueError
+        flat = zlib.decompress(bytes(idat))  # contract of this module
+    except zlib.error as e:
+        raise ValueError(f"PNG pixel stream undecodable: {e}") from e
     if len(flat) != (stride + 1) * height:
         raise ValueError("PNG pixel data length mismatch")
     prev = bytearray(stride)
@@ -240,6 +245,9 @@ def image_dimensions(payload: bytes) -> dict:
             if raw[pos] != 0xFF:
                 break
             marker = raw[pos + 1]
+            if marker == 0xFF:  # spec B.1.1.2: 0xFF fill bytes pad markers
+                pos += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue

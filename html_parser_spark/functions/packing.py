@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .textops import bpe_token_count
+from .textops import bpe_token_count_of
 
 __all__ = ["seq_pack", "shard_assign", "shard_of"]
 
@@ -44,10 +44,16 @@ def seq_pack(docs: DataFrame, text_col: str = "text",
     one EOD separator, offsets are global token positions in ``doc_id``
     order, and blocks are ``seq_len``-sized training sequences (integer
     division — exact at any offset magnitude, no float rounding).
+
+    Precondition: ``id_col`` is a non-null key (NULL ids have no place in
+    a total order; the bucket filter drops such rows explicitly rather
+    than packing them at an arbitrary position). NULL ``text_col`` packs
+    as an empty document (n_tokens = 1, the EOD alone) — same as ``''``.
     """
     d = docs.select(
         F.col(id_col).alias("doc_id"),
-        (bpe_token_count(text_col) + 1).cast("long").alias("n_tokens"),
+        (bpe_token_count_of(F.coalesce(F.col(text_col), F.lit("")))
+         + 1).cast("long").alias("n_tokens"),
         F.expr(f"{id_col} DIV {int(bucket_width)}").alias("bkt"),
     ).where(F.col("bkt").isNotNull())  # join infers this on one branch;
     # stating it on the shared stage keeps both subtrees canonically
@@ -97,12 +103,10 @@ def shard_of(id_col: str = "doc_id", n_shards: int = 64) -> Column:
     ``n_shards``. A pure function of the id — re-runs, resumes and
     backfills route every document to the same shard (unlike
     ``rand()``-based or partition-index-based assignment), and the md5
-    idiom is the same one ``hash_sample``/minhash use so the DuckDB twin
+    idiom is the shared one (functions/hashutil.py) so the DuckDB twin
     replays it bit-for-bit."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(F.encode(
-            F.col(id_col).cast("string"), "utf-8")), 1, 15), 16, 10)
-        .cast("bigint"), F.lit(int(n_shards)))
+    from .hashutil import md5_mod
+    return md5_mod(F.col(id_col).cast("string"), n_shards)
 
 
 def shard_assign(docs: DataFrame, id_col: str = "doc_id",

@@ -10,7 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 __all__ = [
-    "token_count", "ws_token_count", "bpe_token_count", "word_hits",
+    "token_count", "ws_token_count", "bpe_token_count",
+    "bpe_token_count_of", "word_hits",
     "langid", "quality_score", "char_shingles", "doc_fingerprint",
     "position_hashes", "winnow_fingerprint", "repetition_signals",
     "hash_sample", "contamination_flags", "ngram_counts",
@@ -57,7 +58,13 @@ _BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
 def bpe_token_count(col: str = "text") -> Column:
     """BPE-ish token count: the GPT-2-style pre-tokenization classes
     (letter/digit/punctuation runs); a cheap lower bound on real BPE."""
-    return F.size(F.regexp_extract_all(F.col(col), F.lit(_BPE_PATTERN), F.lit(0)))
+    return bpe_token_count_of(F.col(col))
+
+
+def bpe_token_count_of(col: Column) -> Column:
+    """Column-expression form of :func:`bpe_token_count` (callers that
+    need to coalesce/derive the text first, e.g. ``packing.seq_pack``)."""
+    return F.size(F.regexp_extract_all(col, F.lit(_BPE_PATTERN), F.lit(0)))
 
 
 def word_hits(col: str, words: list[str]) -> Column:
@@ -128,13 +135,10 @@ def position_hashes(col: str = "text", width: int = 8) -> Column:
     (same conv/md5 scheme as MinHash)."""
     starts = F.sequence(
         F.lit(1), F.greatest(F.length(F.col(col)) - F.lit(width - 1), F.lit(1)))
+    from .hashutil import md5_mod
     return F.transform(
         starts,
-        lambda i: F.pmod(
-            F.conv(F.substring(
-                F.md5(F.encode(F.substring(F.col(col), i, width), "utf-8")),
-                1, 15), 16, 10).cast("bigint"),
-            F.lit((1 << 31) - 1)))
+        lambda i: md5_mod(F.substring(F.col(col), i, width), (1 << 31) - 1))
 
 
 def winnow_fingerprint(docs, id_col: str = "doc_id", text_col: str = "text",
@@ -242,10 +246,8 @@ def hash_sample(docs: "DataFrame", rates: dict, key_col: str = "lang",
     The hash is the minhash family's ``conv(substr(md5,1,15)) % M`` so the
     DuckDB twin replays membership bit-for-bit.
     """
-    h = F.pmod(
-        F.conv(F.substring(F.md5(F.encode(
-            F.col(id_col).cast("string"), "utf-8")), 1, 15), 16, 10)
-        .cast("bigint"), F.lit(_SAMPLE_M))
+    from .hashutil import md5_mod
+    h = md5_mod(F.col(id_col).cast("string"), _SAMPLE_M)
     thr = F.lit(int(1.0 * _SAMPLE_M))
     for val, rate in sorted(rates.items()):
         thr = F.when(F.col(key_col) == val,

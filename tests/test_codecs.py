@@ -197,3 +197,29 @@ def test_dimensions_rejects_unknown_magic():
         # JPEG with no SOF marker before the stream ends
         mediaops.image_dimensions(b"\xff\xd8\xff\xe0" + struct.pack(">H", 4)
                                   + b"\x00\x00")
+
+
+def test_jpeg_fill_bytes_between_markers():
+    """Spec B.1.1.2: any number of 0xFF fill bytes may pad a marker; the
+    SOF scan must treat them as padding, not as a marker byte."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xff\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 21, 34) + b"\x03" + b"\x00" * 9)
+    assert mediaops.image_dimensions(b"\xff\xd8" + app0 + sof0) == {
+        "format": "jpeg", "width": 34, "height": 21}
+
+
+def test_png_missing_idat_and_bad_ihdr_raise_valueerror():
+    """zlib/struct failures must surface as the module's ValueError
+    contract, not leak zlib.error / struct.error."""
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+    no_idat = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+               + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        mediaops.decode_image(no_idat)
+    short_ihdr = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00" * 5))
+    with pytest.raises(ValueError):
+        mediaops.decode_image(short_ihdr)

@@ -74,3 +74,22 @@ def test_tfidf_rank_and_score_semantics(spark, docs):
         assert [r.rank for r in doc_rows] == list(range(1, len(doc_rows) + 1))
         scores = [r.score for r in doc_rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_seq_pack_null_text_packs_as_empty_doc(spark):
+    rows = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in packing.seq_pack(rows).collect()}
+    assert out[2].n_tokens == 1 and out[3].n_tokens == 1  # EOD alone
+    assert out[2].start_offset == out[1].end_offset
+
+
+def test_length_histogram_null_and_empty_bucket_minus1(spark):
+    from html_parser_spark.functions import corpusstats
+    rows = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "abcd")], "doc_id long, text string")
+    hist = {r.bucket: r for r in
+            corpusstats.length_histogram(rows).collect()}
+    assert hist[-1].n_docs == 2 and hist[-1].lo_chars == 0
+    assert hist[2].n_docs == 1 and hist[2].lo_chars == 4
