@@ -280,6 +280,11 @@ def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", textops.langid("text").alias("lang_detected"))
 
 
+def _q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.quality_tiers(docs)
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", textops.quality_score("text").alias("quality"))
@@ -555,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_type_counts": _q_windowed_type_counts,
         "langid": _q_langid,
         "quality_score": _q_quality,
+        "quality_tiers": _q_quality_tiers,
         "shingle_count": _q_shingles,
         "cosine_topk": _q_cosine_topk,
         # multimodal plumbing
@@ -588,6 +594,17 @@ def _langid_sql() -> str:
         branches.append(f"WHEN {counts[lang]} > {prev} THEN '{lang}'")
     return ("CASE " + " ".join(branches) +
             f" ELSE '{order[0]}' END")
+
+# textops.quality_score twin expression (shared by quality_score /
+# corpus_filter / quality_tiers oracles).
+_QUALITY_SQL = rf"""ROUND(
+      0.5 * LEAST(length(text) / 500.0, 1.0)
+    + 0.4 * LEAST((len(regexp_extract_all(lower(text), '\b({_EN})\b'))
+                   / GREATEST(len(regexp_extract_all(text, '\w+')), 1)) * 4,
+                  1.0)
+    + 0.1 * (1.0 - LEAST((len(regexp_extract_all(text, '[.,;:!?]'))
+                   / GREATEST(length(text), 1)) * 10, 1.0)), 4)"""
+
 
 # Char-shingle expression shared by shingle_count / minhash / jaccard oracles
 # (textops.char_shingles twin: width 16, stride 8, distinct).
@@ -1093,16 +1110,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_langid_sql()} AS lang_detected
             FROM documents
         """,
-        "quality_score": rf"""
-            SELECT doc_id,
-                   ROUND(
-                     0.5 * LEAST(length(text) / 500.0, 1.0)
-                   + 0.4 * LEAST((len(regexp_extract_all(lower(text), '\b({_EN})\b'))
-                                  / GREATEST(len(regexp_extract_all(text, '\w+')), 1)) * 4, 1.0)
-                   + 0.1 * (1.0 - LEAST((len(regexp_extract_all(text, '[.,;:!?]'))
-                                  / GREATEST(length(text), 1)) * 10, 1.0)),
-                   4) AS quality
+        "quality_score": f"""
+            SELECT doc_id, {_QUALITY_SQL} AS quality
             FROM documents
+        """,
+        "quality_tiers": f"""
+            -- textops.quality_tiers twin: per-language rank + integer
+            -- tercile cuts (3*(rank-1) vs k*(n-1): no float boundaries).
+            WITH scored AS (
+              SELECT doc_id, {_langid_sql()} AS lang,
+                     {_QUALITY_SQL} AS quality
+              FROM documents),
+            r AS (
+              SELECT doc_id, lang, quality,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY quality DESC, doc_id ASC) AS rank,
+                     COUNT(*) OVER (PARTITION BY lang) AS n_lang
+              FROM scored)
+            SELECT doc_id, lang, quality, rank,
+                   CASE WHEN 3 * (rank - 1) < GREATEST(n_lang - 1, 1)
+                            THEN 'head'
+                        WHEN 3 * (rank - 1) < 2 * GREATEST(n_lang - 1, 1)
+                            THEN 'middle'
+                        ELSE 'tail' END AS tier
+            FROM r
         """,
         "minhash_lsh_pairs": f"""
             WITH {_MINHASH_CTES}

@@ -12,7 +12,8 @@ from pyspark.sql import Column, functions as F
 __all__ = [
     "token_count", "ws_token_count", "bpe_token_count",
     "bpe_token_count_of", "word_hits",
-    "langid", "quality_score", "char_shingles", "doc_fingerprint",
+    "langid", "quality_score", "quality_tiers", "char_shingles",
+    "doc_fingerprint",
     "position_hashes", "winnow_fingerprint", "repetition_signals",
     "hash_sample", "contamination_flags", "ngram_counts",
     "tfidf_top_terms",
@@ -107,6 +108,47 @@ def quality_score(col: str = "text") -> Column:
              + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
              + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))))
     return F.round(score, 4)
+
+
+def quality_tiers(docs: "DataFrame", id_col: str = "doc_id",
+                  text_col: str = "text") -> "DataFrame":
+    """CCNet-style per-language quality tiers (Wenzek et al. 2020, public
+    method): rank each language's documents by quality and split into
+    head / middle / tail thirds — the standard coarse knob for sampling
+    higher-quality web text more heavily.
+
+    Returns ``(doc_id, lang, quality, rank, tier)``. Rank orders by
+    ``(quality DESC, doc_id ASC)`` — fully deterministic — and the tier
+    boundaries are INTEGER comparisons (``3*(rank-1) < k*(n-1)``), so
+    both engines cut identically with no float-division boundary drift.
+
+    Plan shape: scoring is map-only; the only shuffle is the per-language
+    Window partition (parallel across languages). A per-language total
+    order is inherent to exact percentile ranking — at extreme scale
+    swap in approx quantile cut-points and keep the same tier semantics.
+    """
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        langid(text_col).alias("lang"),
+        quality_score(text_col).alias("quality"))
+    w = (Window.partitionBy("lang")
+         .orderBy(F.col("quality").desc(), F.col("doc_id").asc()))
+    wn = Window.partitionBy("lang")
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .withColumn("n_lang", F.count(F.lit(1)).over(wn))
+            .withColumn(
+                "tier",
+                F.when(3 * (F.col("rank") - 1)
+                       < F.greatest(F.col("n_lang") - 1, F.lit(1)),
+                       F.lit("head"))
+                .when(3 * (F.col("rank") - 1)
+                      < 2 * F.greatest(F.col("n_lang") - 1, F.lit(1)),
+                      F.lit("middle"))
+                .otherwise(F.lit("tail")))
+            .select("doc_id", "lang", "quality", "rank", "tier"))
 
 
 def char_shingles(col: str = "text", width: int = 16, stride: int = 8) -> Column:

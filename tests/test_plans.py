@@ -308,3 +308,15 @@ def test_corpusstats_single_combinable_shuffle(spark):
     # corpus_mix adds the O(n_groups) single-row reduction on top of the
     # per-group exchange; the histogram is exactly one shuffle.
     assert A.n_exchanges(corpusstats.length_histogram(docs)) == 1
+
+
+def test_quality_tiers_window_is_per_language(spark):
+    """The percentile rank partitions by language (parallel across langs,
+    never a global single-partition sort) and scoring stays JVM-side."""
+    from html_parser_spark.functions import textops
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = textops.quality_tiers(docs)
+    plan = A.formatted_plan(df)
+    assert "windowspecdefinition(lang" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
