@@ -1093,8 +1093,9 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             numbered AS (
               SELECT user_id, ts, value,
-                     SUM(is_new) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id) AS session_no
+                     CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                          AS BIGINT) AS session_no
               FROM marked)
             SELECT user_id, session_no, COUNT(*) AS n_events,
                    ROUND(SUM(value), 6) AS sum_value,
