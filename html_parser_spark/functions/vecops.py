@@ -190,6 +190,58 @@ def near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
         _block_cos, "doc_a long, doc_b long, cos_sim double")
 
 
+def _assign_buckets(df: DataFrame, n_bits: int, id_col: str, vec_col: str,
+                    out_id: str, out_vec: str, out_norm: str) -> DataFrame:
+    """Map-only Arrow-batched LSH bucket + norm assignment — the vectorized
+    twin of :func:`lsh_bucket` (VERDICT r3 task 3: the per-bit interpreted
+    HOF fold was the engine's one remaining interpreted-expression hot
+    path, ~8 sequential aggregate/zip_with folds per row).
+
+    Bit-for-bit parity with the HOF form and the DuckDB twin
+    (``__spark_entry__._lsh_bucket_expr``) is load-bearing: a projection
+    near 0 flips its sign bit under any re-association. So the projection
+    and the norm accumulate SEQUENTIALLY across dimensions (vectorized
+    across rows — one fused multiply-add per dim per bit), never via BLAS
+    matmul / pairwise summation, reproducing the left-fold doubles exactly.
+    Cost: n_bits·dim vector ops per Arrow batch ≈ matmul speed for the
+    64-dim corpus; the plan stays Exchange-free (pinned in test_plans.py).
+
+    Output: (out_id, out_vec array<double>, out_norm, bucket)."""
+    import numpy as np
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            n_rows, dim = V.shape
+            # Hyperplane weights H[j, i] = cos(i*(j+1) + (j+1)) — same
+            # deterministic seedless family as lsh_bucket / the SQL twin.
+            j1 = np.arange(1, n_bits + 1, dtype=np.float64)
+            H = np.cos(np.arange(dim, dtype=np.float64)[None, :]
+                       * j1[:, None] + j1[:, None])
+            proj = np.zeros((n_rows, n_bits))
+            nrm = np.zeros(n_rows)
+            for i in range(dim):  # sequential across dims == the HOF fold
+                proj += V[:, i:i + 1] * H[:, i][None, :]
+                nrm += V[:, i] * V[:, i]
+            bucket = ((proj >= 0)
+                      * (1 << np.arange(n_bits, dtype=np.int64))[None, :]
+                      ).sum(axis=1)
+            yield pd.DataFrame({
+                out_id: pdf[id_col].to_numpy(),
+                out_vec: list(V),
+                out_norm: np.sqrt(nrm),
+                "bucket": bucket,
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, f"{out_id} long, {out_vec} array<double>, "
+            f"{out_norm} double, bucket long")
+
+
 def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                       n_bits: int = 8, id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
@@ -197,17 +249,16 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     only, then exact-cosine rank within the bucket. The bucket id is a key,
     so this is a shuffle-on-key equi-join — the 100 TB path where the
     brute-force cross product is impossible. Recall < 1.0 by construction
-    (driver records rows-only for this query)."""
-    # Norms hoisted per row before the join (mirrors brute_force_topk) —
-    # cosine() inside the pair projection would re-fold both norms per pair.
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"),
-                       l2_norm(F.col(vec_col)).alias("q_norm"),
-                       lsh_bucket(F.col(vec_col), n_bits).alias("bucket"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"),
-                      l2_norm(F.col(vec_col)).alias("c_norm"),
-                      lsh_bucket(F.col(vec_col), n_bits).alias("bucket"))
+    (driver records rows-only for this query).
+
+    Buckets and norms come from the Arrow-batched :func:`_assign_buckets`
+    pass (map-only; the corpus never shuffles — the tiny query side is
+    broadcast); :func:`lsh_bucket` remains the HOF reference form whose
+    SQL rendering is the DuckDB twin."""
+    q = _assign_buckets(queries, n_bits, id_col, vec_col,
+                        "query_id", "q_vec", "q_norm")
+    c = _assign_buckets(corpus, n_bits, id_col, vec_col,
+                        "neighbor_id", "c_vec", "c_norm")
     return _topk_by_cosine(c.join(F.broadcast(q), "bucket"), k)
 
 

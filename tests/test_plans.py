@@ -77,6 +77,30 @@ def test_ivf_topk_corpus_never_shuffles(spark):
     assert A.has_broadcast_join(df), plan
 
 
+def test_lsh_bucket_assignment_is_map_only(spark):
+    """LSH bucket+norm assignment must be one Arrow-batched map-only pass
+    (VERDICT r3 task 3) — no Exchange, no interpreted per-bit fold."""
+    from html_parser_spark.functions import vecops
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned = vecops._assign_buckets(emb, 8, "vec_id", "embedding",
+                                      "neighbor_id", "c_vec", "c_norm")
+    plan = A.formatted_plan(assigned)
+    assert "Exchange" not in plan, plan
+
+
+def test_lsh_topk_corpus_never_shuffles(spark):
+    """Full LSH top-k plan: the corpus side reaches the broadcast bucket
+    join shuffle-free; the only hash Exchange is the per-query rank window
+    over the small candidate set."""
+    from html_parser_spark.functions import vecops
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    df = vecops.lsh_bucketed_topk(q, emb, k=5)
+    plan = A.formatted_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert A.has_broadcast_join(df), plan
+
+
 def test_host_salted_variant_has_single_exchange(spark):
     pages = P.synthesize_pages(spark, 10)
     ext = P.extract_pages(pages, host_salted=True)
