@@ -318,6 +318,14 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, max_hamming=3)
 
 
+def _q_simhash_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-scale SimHash output contract: (representative, member,
+    hamming) — linear in corpus size instead of d² per duplicate cluster
+    (VERDICT r3 task 5). Sparse edges feed dedup_clusters downstream."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3, emit="members")
+
+
 def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return textops.repetition_signals(docs)
@@ -534,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
+        "simhash_members": _q_simhash_members,
         "jaccard_pairs": _q_jaccard_pairs,
         "line_dedup": _q_line_dedup,
         "dup_span_stats": _q_dup_span_stats,
@@ -1212,6 +1221,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "simhash_members": rf"""
+            -- dedup.simhash_pairs(emit='members') twin: per-signature
+            -- representative = MIN(doc_id); one row per non-rep member
+            -- (hamming 0) plus one edge per near-signature pair between
+            -- the two representatives — linear output, never d² expansion.
+            WITH tok AS (SELECT doc_id,
+                                list_distinct(regexp_extract_all(lower(text),
+                                                                 '\w+')) AS toks
+                         FROM documents),
+            hx AS (SELECT doc_id, len(toks) AS n,
+                          list_transform(toks,
+                                         t -> md5(t) || md5('x' || t)) AS hs
+                   FROM tok),
+            sig AS (SELECT doc_id, {_SIMHASH64_BITS} AS sig FROM hx),
+            reps AS (SELECT sig, MIN(doc_id) AS rep FROM sig GROUP BY sig),
+            bands AS (
+              SELECT sig, b, (sig >> (b * 16)) & 65535 AS val
+              FROM reps, (SELECT UNNEST(range(0, 4)) AS b) t),
+            cand AS (
+              SELECT DISTINCT a.sig AS sa, b.sig AS sb
+              FROM bands a JOIN bands b
+                ON a.b = b.b AND a.val = b.val AND a.sig < b.sig),
+            edges AS (
+              SELECT LEAST(ra.rep, rb.rep) AS representative,
+                     GREATEST(ra.rep, rb.rep) AS member,
+                     CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+              FROM cand JOIN reps ra ON ra.sig = sa
+                        JOIN reps rb ON rb.sig = sb
+              WHERE bit_count(xor(sa, sb)) <= 3)
+            SELECT r.rep AS representative, s.doc_id AS member,
+                   0 AS hamming
+            FROM sig s JOIN reps r USING (sig) WHERE s.doc_id <> r.rep
+            UNION ALL SELECT * FROM edges
         """,
         "jaccard_pairs": f"""
             WITH sh0 AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),

@@ -229,7 +229,8 @@ def simhash64_table(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  emit: str = "pairs") -> DataFrame:
     """SimHash near-duplicate pairs: banded hamming-distance self-join.
 
     The 64-bit signature splits into 4 bands of 16 bits; by pigeonhole,
@@ -242,7 +243,21 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     keep every bucket selective, unlike a 4-bit banding whose 16 possible
     values would make each bucket hold ~n/16 of the corpus.
 
-    Output: (doc_a, doc_b, hamming) with doc_a < doc_b, distinct."""
+    Output contract (``emit``):
+
+    - ``"pairs"`` (default): (doc_a, doc_b, hamming) with doc_a < doc_b,
+      distinct — every near-duplicate pair, including the inherently-d²
+      within-cluster expansion of a d-document duplicate cluster.
+    - ``"members"``: (representative, member, hamming) — the crawl-scale
+      contract, LINEAR in corpus size. Each signature's representative is
+      its smallest doc_id; every other holder of that signature emits ONE
+      (rep, member, 0) row, and each near-signature pair emits ONE
+      (rep_a, rep_b, hamming) edge between representatives. Connected
+      components over these sparse edges (:func:`dedup_clusters`)
+      reconstruct the full clusters; a 1k-duplicate cluster costs 999
+      rows here vs ~500k in pairs mode."""
+    if emit not in ("pairs", "members"):
+        raise ValueError(f"emit={emit!r}: expected 'pairs' or 'members'")
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming}: the 4-band pigeonhole guarantee "
@@ -280,6 +295,25 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                  .withColumn("hamming", F.bit_count(
                      F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
                  .where(F.col("hamming") <= max_hamming))
+    if emit == "members":
+        # One combinable groupBy picks each signature's representative;
+        # both outputs are keyed joins on the signature — no step touches
+        # more than one row per document (linear), no collect_list.
+        reps = sig_tbl.groupBy("sig").agg(F.min("doc_id").alias("rep"))
+        within = (sig_tbl.join(reps, "sig")
+                  .where(F.col("doc_id") != F.col("rep"))
+                  .select(F.col("rep").alias("representative"),
+                          F.col("doc_id").alias("member"),
+                          F.lit(0).alias("hamming")))
+        ra = reps.select(F.col("sig").alias("sig_a"),
+                         F.col("rep").alias("rep_a"))
+        rb = reps.select(F.col("sig").alias("sig_b"),
+                         F.col("rep").alias("rep_b"))
+        edges = (sig_pairs.join(ra, "sig_a").join(rb, "sig_b")
+                 .select(F.least("rep_a", "rep_b").alias("representative"),
+                         F.greatest("rep_a", "rep_b").alias("member"),
+                         "hamming"))
+        return within.unionByName(edges)
     ma = sig_tbl.select(F.col("sig").alias("sig_a"),
                         F.col("doc_id").alias("x"))
     mb = sig_tbl.select(F.col("sig").alias("sig_b"),

@@ -103,7 +103,8 @@ def _n_blocks(n_rows: int, rows_per_block: int) -> int:
 
 def near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   rows_per_block: int = 8192) -> DataFrame:
+                   rows_per_block: int = 8192,
+                   n_rows: "int | None" = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all-pairs baseline).
 
     Cosine is rounded to 6 decimals *before* the threshold compare so the
@@ -128,11 +129,14 @@ def near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
     floor 16) so a block row — one ``collect_list`` of its vectors — stays
     size-bounded: ~8k × 64-dim doubles ≈ 4 MB regardless of corpus size,
     instead of n/16 vectors in one row (an executor OOM at crawl scale).
-    The count() driving it is parquet-metadata cheap for a plain scan, but
-    executes the full upstream lineage as an extra job when ``corpus`` is
-    a derived DataFrame — cache the input or precompute the count upstream
-    if that lineage is expensive."""
-    n_blocks = _n_blocks(corpus.count(), rows_per_block)
+    The count() driving the block choice is parquet-metadata cheap for a
+    plain scan, but executes the full upstream lineage as an EXTRA job when
+    ``corpus`` is a derived DataFrame. Callers with expensive lineage
+    should pass ``n_rows`` (any upstream-known row count — an approximate
+    one only shifts block sizing) or cache the input; with ``n_rows`` given
+    this function triggers exactly one job."""
+    n_blocks = _n_blocks(corpus.count() if n_rows is None else n_rows,
+                         rows_per_block)
     blocks = corpus.select(
         F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
         F.col(id_col).alias("id"),

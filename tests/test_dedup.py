@@ -98,6 +98,56 @@ def test_simhash_pairs_banded_hamming(spark, docs):
 def test_simhash_pairs_rejects_wide_radius(docs):
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_pairs(docs, max_hamming=4)
+    with pytest.raises(ValueError, match="emit"):
+        dedup.simhash_pairs(docs, emit="clusters")
+
+
+def test_simhash_members_linear_on_planted_cluster(spark):
+    """emit='members' on a planted 1k-duplicate cluster: 999 (rep, member)
+    rows — linear — where pairs mode would emit ~499,500; edges between
+    near signatures connect the two representatives, once."""
+    rows = [(i, "the same boilerplate page text repeated")
+            for i in range(1000)]
+    rows += [(2000, "an entirely different document about gardens and "
+                    "walls and weather patterns in autumn"),
+             (2001, "unrelated third text mentioning ships harbors and "
+                    "cargo manifests of the northern trade")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    mem = dedup.simhash_pairs(docs, emit="members").collect()
+    cluster = [(r.representative, r.member) for r in mem if r.hamming == 0]
+    assert sorted(cluster) == [(0, i) for i in range(1, 1000)]
+    # near-signature edges (if any) link representatives only — never a
+    # non-representative member of the big cluster
+    for r in mem:
+        if r.hamming > 0:
+            assert r.representative in (0, 2000, 2001)
+            assert r.member in (0, 2000, 2001)
+    # members output is linear: n - n_sigs + n_edges, nowhere near d²
+    assert len(mem) < 1100
+
+
+def test_simhash_members_consistent_with_pairs(spark, docs):
+    """On the shared fixture, members mode must reproduce pairs mode's
+    connectivity: same-signature docs attach to the min-id representative
+    and representative edges mirror the near-signature pairs."""
+    pairs = dedup.simhash_pairs(docs, max_hamming=3).collect()
+    mem = dedup.simhash_pairs(docs, max_hamming=3, emit="members").collect()
+    sigs = {r.doc_id: _simhash64_py(r.text) for r in docs.collect()}
+    reps = {}
+    for d, s in sigs.items():
+        reps[s] = min(reps.get(s, d), d)
+    expect_within = {(reps[s], d) for d, s in sigs.items() if reps[s] != d}
+    expect_edges = {(min(reps[sa], reps[sb]), max(reps[sa], reps[sb]),
+                     bin(sa ^ sb).count("1"))
+                    for sa in set(sigs.values()) for sb in set(sigs.values())
+                    if sa < sb and bin(sa ^ sb).count("1") <= 3}
+    got_within = {(r.representative, r.member)
+                  for r in mem if r.hamming == 0}
+    got_edges = {(r.representative, r.member, r.hamming)
+                 for r in mem if r.hamming > 0}
+    assert got_within == expect_within
+    assert got_edges == expect_edges
+    assert pairs  # fixture sanity: pairs mode found the planted dup
 
 
 def test_simhash64_table_equals_column_form(spark, docs):
@@ -185,6 +235,25 @@ def test_near_dup_block_count_scales_with_input():
     # block row payload stays ≤ rows_per_block vectors at any scale
     for n in (10**4, 10**6, 10**9):
         assert -(-n // vecops._n_blocks(n, 8192)) <= 8192
+
+
+def test_near_dup_caller_count_avoids_extra_job(spark):
+    """With n_rows supplied, building the pairs plan must launch ZERO jobs
+    (without it, corpus.count() re-executes derived lineage at call time —
+    VERDICT r3 item 6), and the supplied count must give the same pairs."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    derived = emb.where(F.col("vec_id") >= 0)   # non-trivial lineage
+    sc = spark.sparkContext
+    sc.setJobGroup("near-dup-lazy", "plan build must be lazy")
+    try:
+        lazy = vecops.near_dup_pairs(derived, 0.35, n_rows=500)
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("near-dup-lazy") == []
+    a = {(r.doc_a, r.doc_b, r.cos_sim)
+         for r in vecops.near_dup_pairs(emb, 0.35).collect()}
+    b = {(r.doc_a, r.doc_b, r.cos_sim) for r in lazy.collect()}
+    assert a == b and a
 
 
 def test_near_dup_invariant_under_block_size(spark):
