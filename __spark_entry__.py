@@ -478,6 +478,81 @@ def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang_detected", "quality"))
 
 
+def _q_extract_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pipeline as ONE plan (VERDICT r3 task 7): pages →
+    extraction → URL dedup → exact page dedup → doc-side near-dup /
+    quality / decontamination keep-list → sequence packing → shard
+    assignment. Every stage is an operator that is also individually
+    oracled; this query pins their COMPOSITION against one DuckDB replay.
+
+    Page text rides a key join from the documents table (page i ↔ doc
+    i % n_docs — the corpus is 4 pages per document, so exact page dedup
+    has real work to do), because the renderer's main_text is RNG-built
+    and has no SQL twin; the extraction surface itself is hash-checked by
+    extract_pages/extract_dispatch on its md5-replayable fields.
+
+    Scale shape: extraction is map-only; url dedup and exact dedup are
+    map-side-combinable groupBys; the keep-list semi-join shuffles keys,
+    never text; packing is the two-pass prefix sum. Text crosses only the
+    doc-attach Exchanges (pinned in test_plans.py)."""
+    from html_parser_spark.functions import urlops
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n = max(200, min(n_docs * 4, 20000))
+    pages = P.synthesize_pages(spark, n)
+    ok = P.extract_pages(pages).where(F.col("status") == "ok").select("url")
+    # URL-level dedup over 3 content-identical spellings (as-is, mangled
+    # scheme/host case, :443-ported) — same determinstic messing as
+    # url_canonical, minus the query-param variants (those canonicalize
+    # to a different key and would double the corpus).
+    ported = F.replace(F.col("url"), F.lit(".example.com/"),
+                       F.lit(".example.com:443/"))
+    variants = ok.select(F.explode(F.array(
+        F.col("url"),
+        F.concat(F.upper(F.substring("url", 1, 12)),
+                 F.expr("substring(url, 13)")),
+        F.when(F.col("url").contains("?"), ported)
+         .otherwise(F.concat(ported, F.lit("/"))),
+    )).alias("raw_url"))
+    canon = urlops.url_dedup(variants, "raw_url")
+    # Page identity re-parsed from the canonical url (pid = 100000 + i on
+    # item pages, i on pdf reports) — the key that attaches catalog text.
+    pid = F.regexp_extract("canonical_url",
+                           r"(?:item-|report-)(\d+)", 1).cast("long")
+    page = canon.select(
+        F.when(F.col("canonical_url").contains("report-"), pid)
+         .otherwise(pid - 100000).alias("page_id"),
+        F.col("canonical_url").alias("url"),
+        "n_variants")
+    ptext = (page
+             .withColumn("doc_key",
+                         F.pmod("page_id", F.lit(n_docs)).cast("long"))
+             .join(docs.select(F.col("doc_id").alias("doc_key"), "text"),
+                   "doc_key"))
+    # Exact page dedup: min page per content hash (4 pages share each
+    # document's text, so this collapses the corpus ~4×).
+    ded = (ptext.groupBy(F.md5(F.encode("text", "utf-8")).alias("h"))
+           .agg(F.min("page_id").alias("page_id"),
+                F.count(F.lit(1)).alias("n_copies")))
+    keep_pages = ptext.join(ded.select("page_id", "n_copies"), "page_id")
+    # Doc-side keep-list: the corpus_filter funnel (near-dup canonical
+    # keepers + quality/lang/repetition + decontamination), verbatim.
+    cf = (_q_corpus_filter(spark, sf_dir)
+          .select(F.col("doc_id").alias("doc_key")))
+    surv = keep_pages.join(cf, "doc_key", "left_semi")
+    packed = (packing.seq_pack(surv, text_col="text", id_col="page_id",
+                               seq_len=2048, bucket_width=64)
+              .withColumnRenamed("doc_id", "page_id"))
+    out = (packed
+           .join(surv.select("page_id", "url", "doc_key",
+                             "n_variants", "n_copies"), "page_id")
+           .withColumn("shard", packing.shard_of("page_id", 16)))
+    return out.select("page_id", "url", F.col("doc_key").alias("doc_id"),
+                      "n_variants", "n_copies", "n_tokens", "start_offset",
+                      "end_offset", "first_block", "last_block", "n_blocks",
+                      "shard")
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.35 ≈ p99.9 of the synthetic corpus' pairwise cosine (its max is ~0.5:
     # no planted dups), so the threshold branch actually emits pairs here.
@@ -555,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "pii_scrub": _q_pii_scrub,
         "corpus_filter": _q_corpus_filter,
+        "extract_to_shards": _q_extract_to_shards,
         "embedding_near_dup": _q_embedding_near_dup,
         # Both ANN paths are approximate in RECALL but fully deterministic,
         # so each has an exact DuckDB twin; recall bounds live in pytest.
@@ -644,6 +720,56 @@ _MINHASH_CTES = f"""sh AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM bands a JOIN bands b
                 ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+
+# The full corpus_filter funnel as a CTE chain ending in cf_keep(doc_id,
+# lang_detected, quality) — shared verbatim by the corpus_filter oracle and
+# the extract_to_shards composition so the doc-side keep-list twin cannot
+# drift between them. Callers open with WITH RECURSIVE (the reach CTE).
+_CORPUS_FILTER_CTES = rf"""{_MINHASH_CTES},
+            edges AS (
+              SELECT c.doc_a, c.doc_b
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+              WHERE len(list_filter(range(1, 17),
+                                    i -> sa.sig[i] = sb.sig[i])) >= 8),
+            und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+                    UNION ALL
+                    SELECT doc_b AS u, doc_a AS v FROM edges),
+            reach(node, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT und.v, reach.r FROM reach
+              JOIN und ON und.u = reach.node),
+            lbl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+                    FROM reach GROUP BY node),
+            keepers AS (SELECT doc_id FROM lbl WHERE doc_id = cluster_id),
+            probe AS (SELECT DISTINCT UNNEST(shs) AS pr_sh FROM sh
+                      WHERE doc_id < 5),
+            hits AS (SELECT DISTINCT s.doc_id
+                     FROM (SELECT doc_id, UNNEST(shs) AS pr_sh FROM sh) s
+                     JOIN probe USING (pr_sh)),
+            tok AS (SELECT doc_id,
+                           regexp_extract_all(lower(text), '\w+') AS toks
+                    FROM documents),
+            tcounts AS (SELECT doc_id, t, COUNT(*) AS c
+                        FROM (SELECT doc_id, UNNEST(toks) AS t FROM tok)
+                        GROUP BY doc_id, t),
+            top AS (SELECT doc_id,
+                           ROUND(MAX(c)::DOUBLE / SUM(c), 6)
+                               AS top_token_frac
+                    FROM tcounts GROUP BY doc_id),
+            cf_keep AS (
+              SELECT d.doc_id,
+                     {_langid_sql()} AS lang_detected,
+                     {_QUALITY_SQL} AS quality
+              FROM documents d
+              JOIN keepers USING (doc_id)
+              LEFT JOIN top USING (doc_id)
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)
+                AND COALESCE(top.top_token_frac, 0) <= 0.12
+                AND {_langid_sql()} = 'en'
+                AND {_QUALITY_SQL} >= 0.4)"""
 
 # SimHash bit votes (dedup.simhash16 twin): bit b set iff tokens whose
 # md5 hex digit b is in [8,f] are the majority.
@@ -1449,68 +1575,75 @@ def oracle_sql() -> dict[str, str]:
             -- verify each stage alone: MinHash CC keepers (recursive
             -- CTE), probe-shingle contamination, langid CASE ladder,
             -- quality expression, top-token repetition fraction.
-            WITH RECURSIVE {_MINHASH_CTES},
-            edges AS (
-              SELECT c.doc_a, c.doc_b
-              FROM cand c
-              JOIN sig sa ON sa.doc_id = c.doc_a
-              JOIN sig sb ON sb.doc_id = c.doc_b
-              WHERE len(list_filter(range(1, 17),
-                                    i -> sa.sig[i] = sb.sig[i])) >= 8),
-            und AS (SELECT doc_a AS u, doc_b AS v FROM edges
-                    UNION ALL
-                    SELECT doc_b AS u, doc_a AS v FROM edges),
-            reach(node, r) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT und.v, reach.r FROM reach
-              JOIN und ON und.u = reach.node),
-            lbl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
-                    FROM reach GROUP BY node),
-            keepers AS (SELECT doc_id FROM lbl WHERE doc_id = cluster_id),
-            probe AS (SELECT DISTINCT UNNEST(shs) AS pr_sh FROM sh
-                      WHERE doc_id < 5),
-            hits AS (SELECT DISTINCT s.doc_id
-                     FROM (SELECT doc_id, UNNEST(shs) AS pr_sh FROM sh) s
-                     JOIN probe USING (pr_sh)),
-            tok AS (SELECT doc_id,
-                           regexp_extract_all(lower(text), '\w+') AS toks
-                    FROM documents),
-            tcounts AS (SELECT doc_id, t, COUNT(*) AS c
-                        FROM (SELECT doc_id, UNNEST(toks) AS t FROM tok)
-                        GROUP BY doc_id, t),
-            top AS (SELECT doc_id,
-                           ROUND(MAX(c)::DOUBLE / SUM(c), 6)
-                               AS top_token_frac
-                    FROM tcounts GROUP BY doc_id)
-            SELECT d.doc_id,
-                   {_langid_sql()} AS lang_detected,
-                   ROUND(
-                     0.5 * LEAST(length(text) / 500.0, 1.0)
-                   + 0.4 * LEAST((len(regexp_extract_all(lower(text),
-                                  '\b({_EN})\b'))
-                                  / GREATEST(len(regexp_extract_all(text,
-                                             '\w+')), 1)) * 4, 1.0)
-                   + 0.1 * (1.0 - LEAST((len(regexp_extract_all(text,
-                                  '[.,;:!?]'))
-                                  / GREATEST(length(text), 1)) * 10, 1.0)),
-                   4) AS quality
-            FROM documents d
-            JOIN keepers USING (doc_id)
-            LEFT JOIN top USING (doc_id)
-            WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)
-              AND COALESCE(top.top_token_frac, 0) <= 0.12
-              AND {_langid_sql()} = 'en'
-              AND ROUND(
-                    0.5 * LEAST(length(text) / 500.0, 1.0)
-                  + 0.4 * LEAST((len(regexp_extract_all(lower(text),
-                                 '\b({_EN})\b'))
-                                 / GREATEST(len(regexp_extract_all(text,
-                                            '\w+')), 1)) * 4, 1.0)
-                  + 0.1 * (1.0 - LEAST((len(regexp_extract_all(text,
-                                 '[.,;:!?]'))
-                                 / GREATEST(length(text), 1)) * 10, 1.0)),
-                  4) >= 0.4
+            WITH RECURSIVE {_CORPUS_FILTER_CTES}
+            SELECT doc_id, lang_detected, quality FROM cf_keep
+        """,
+        "extract_to_shards": rf"""
+            -- _q_extract_to_shards twin: the extraction-to-shards
+            -- composition. Pages replayed from the index (url/profile/
+            -- status twins), the 3-spelling url dedup collapses back to
+            -- the clean url, page text rides the doc_key join, exact
+            -- page dedup is a GROUP BY md5(text), the doc-side keep-list
+            -- is the corpus_filter CTE chain verbatim, and the packing /
+            -- shard tail replays the seq_pack + shard_assign twins over
+            -- the survivors in page_id order.
+            WITH RECURSIVE {_CORPUS_FILTER_CTES},
+            nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            n AS (SELECT GREATEST(200, LEAST(COUNT(*) * 4, 20000))
+                      AS n_pages FROM documents),
+            idx AS (SELECT UNNEST(range(0, n_pages)) AS i FROM n),
+            base AS (
+              SELECT i,
+                     CASE WHEN i % 50 = 48 THEN 'pdf'
+                          WHEN i % 50 = 49 THEN 'error'
+                          ELSE ({_PROFILE_ARRAY})[CAST(i % 13 AS INT) + 1]
+                     END AS gen_profile
+              FROM idx WHERE i % 50 <> 49),
+            pg0 AS (SELECT i AS page_id, {_URL_SQL} AS url FROM base),
+            -- the 3 content-identical spellings collapse under one
+            -- canonical (= the clean url) per page: n_variants = count
+            v AS (SELECT page_id, url, UNNEST([
+                    url,
+                    upper(substring(url, 1, 12)) || substring(url, 13),
+                    replace(url, '.example.com/', '.example.com:443/')
+                        || (CASE WHEN contains(url, '?')
+                                 THEN '' ELSE '/' END)
+                  ]) AS raw_url FROM pg0),
+            pg AS (SELECT page_id, url, COUNT(*) AS n_variants,
+                          page_id % (SELECT n_docs FROM nd) AS doc_key
+                   FROM v GROUP BY page_id, url),
+            ptext AS (SELECT p.page_id, p.url, p.doc_key, p.n_variants,
+                             d.text
+                      FROM pg p JOIN documents d ON d.doc_id = p.doc_key),
+            ded AS (SELECT MIN(page_id) AS page_id, COUNT(*) AS n_copies
+                    FROM ptext GROUP BY md5(text)),
+            surv AS (SELECT t.page_id, t.url, t.doc_key, t.n_variants,
+                            dd.n_copies, t.text
+                     FROM ded dd JOIN ptext t USING (page_id)
+                     JOIN cf_keep k ON k.doc_id = t.doc_key),
+            cnt AS (SELECT page_id, url, doc_key, n_variants, n_copies,
+                           (len(regexp_extract_all(text,
+                              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) + 1)
+                               ::BIGINT AS n_tokens
+                    FROM surv),
+            o AS (SELECT *,
+                         COALESCE(SUM(n_tokens) OVER (
+                             ORDER BY page_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0)::BIGINT
+                             AS start_offset
+                  FROM cnt)
+            SELECT page_id, url, doc_key AS doc_id, n_variants, n_copies,
+                   n_tokens, start_offset,
+                   (start_offset + n_tokens)::BIGINT AS end_offset,
+                   (start_offset // 2048)::BIGINT AS first_block,
+                   ((start_offset + n_tokens - 1) // 2048)::BIGINT
+                       AS last_block,
+                   ((start_offset + n_tokens - 1) // 2048
+                    - start_offset // 2048 + 1)::BIGINT AS n_blocks,
+                   ('0x' || substr(md5(page_id::VARCHAR), 1, 15))::BIGINT
+                       % 16 AS shard
+            FROM o
         """,
         "embedding_near_dup": f"""
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,

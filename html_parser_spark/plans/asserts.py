@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 __all__ = ["formatted_plan", "has_broadcast_join", "n_exchanges",
-           "pushed_filters", "read_schema_columns", "has_whole_stage_codegen"]
+           "n_column_carrying_exchanges", "pushed_filters",
+           "read_schema_columns", "has_whole_stage_codegen"]
 
 
 def formatted_plan(df: DataFrame) -> str:
@@ -32,6 +33,30 @@ def n_exchanges(df: DataFrame) -> int:
                if "Exchange" in line and "Reused" not in line
                and line.lstrip().startswith(("+-", ":-", "*(", "Exchange"))
                and "BroadcastExchange" not in line)
+
+
+def n_column_carrying_exchanges(df: DataFrame, col: str = "text") -> int:
+    """How many shuffle Exchanges move rows that still CONTAIN ``col``.
+
+    The 100 TB cost of a plan is dominated by which Exchanges carry the
+    wide payload column (page bytes, document text), not by how many
+    Exchanges exist: shuffling keys is cheap, shuffling text is not.
+    Parses the formatted-explain detail blocks and counts non-broadcast,
+    non-reused Exchange nodes whose Input includes ``col#<id>``.
+    """
+    import re
+    plan = formatted_plan(df)
+    n = 0
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        m = re.match(r"\(\d+\) (\S+)", block)
+        if not m:
+            continue
+        name = m.group(1)
+        if "Exchange" not in name or "Reused" in name or "Broadcast" in name:
+            continue
+        if re.search(rf"\b{re.escape(col)}#\d+", block):
+            n += 1
+    return n
 
 
 def pushed_filters(df: DataFrame) -> str:

@@ -108,6 +108,21 @@ def test_host_salted_variant_has_single_exchange(spark):
     assert plan.count("- Exchange") == 1, plan
 
 
+def test_extract_to_shards_text_crosses_two_exchanges(spark):
+    """The end-to-end pages→shards composition (VERDICT r3 task 7): the
+    wide text payload may cross exactly the two doc-attach Exchanges (the
+    documents-side join shuffle and the page-text shuffle into exact
+    dedup); every other shuffle moves keys/aggregates only. Also no
+    cartesian/nested-loop product anywhere in the composed plan."""
+    df = E.queries()["extract_to_shards"](spark, SF)
+    plan = A.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert A.n_column_carrying_exchanges(df, "text") <= 2, plan
+    # page bytes (html) must never shuffle, composed or not
+    assert A.n_column_carrying_exchanges(df, "html") == 0, plan
+
+
 def test_jaccard_df_cap_never_windows_hot_shingles(spark):
     """The df-cap must drop boilerplate shingles map-side: no Window exec
     over the shingle key (which would fan every occurrence of a hot
