@@ -492,9 +492,23 @@ def _q_extract_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     extract_pages/extract_dispatch on its md5-replayable fields.
 
     Scale shape: extraction is map-only; url dedup and exact dedup are
-    map-side-combinable groupBys; the keep-list semi-join shuffles keys,
-    never text; packing is the two-pass prefix sum. Text crosses only the
-    doc-attach Exchanges (pinned in test_plans.py)."""
+    map-side-combinable groupBys; the doc-side keep-list semi-joins the
+    page KEYS (doc_key is derived from page_id) before text ever attaches,
+    so the filter shuffles longs, never text; packing is the two-pass
+    prefix sum. After the doc-attach join, ``ptext`` is persisted
+    (MEMORY_AND_DISK — spills, never OOMs) so the four downstream
+    branches (exact dedup, survivor join, both seq_pack passes) compute
+    the extraction + url-dedup + keep-list prefix exactly ONCE; text
+    crosses exactly two Exchanges — the doc-attach join and the survivor
+    join's page_id alignment (ded is one row per unique content, too big
+    to broadcast at crawl scale, so that key shuffle is the honest 100 TB
+    shape; pinned in test_plans.py). ReuseExchange alone cannot dedup these branches:
+    each prunes ``ptext`` to a different column set, so their exchanges
+    canonicalize differently — and at real scale this boundary is the
+    Iceberg snapshot the pipeline writes between extraction and corpus
+    shaping anyway (job/pipeline.py write path). Consequence of
+    filter-before-dedup order: n_copies counts SURVIVING replicas of a
+    page's content (the standard filter-then-dedup corpus order)."""
     from html_parser_spark.functions import urlops
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.count()
@@ -524,22 +538,30 @@ def _q_extract_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(pid - 100000).alias("page_id"),
         F.col("canonical_url").alias("url"),
         "n_variants")
-    ptext = (page
-             .withColumn("doc_key",
-                         F.pmod("page_id", F.lit(n_docs)).cast("long"))
+    # Doc-side keep-list FIRST, over page keys only: doc_key is derived
+    # from page_id, so the corpus_filter funnel (near-dup canonical
+    # keepers + quality/lang/repetition + decontamination, verbatim)
+    # filters the narrow key rows before any text attaches.
+    cf = (_q_corpus_filter(spark, sf_dir)
+          .select(F.col("doc_id").alias("doc_key")))
+    kept = (page
+            .withColumn("doc_key",
+                        F.pmod("page_id", F.lit(n_docs)).cast("long"))
+            .join(cf, "doc_key", "left_semi"))
+    # Attach catalog text once, then materialize: the one boundary every
+    # downstream branch shares (see docstring for why persist, not
+    # ReuseExchange).
+    from pyspark import StorageLevel
+    ptext = (kept
              .join(docs.select(F.col("doc_id").alias("doc_key"), "text"),
-                   "doc_key"))
+                   "doc_key")
+             .persist(StorageLevel.MEMORY_AND_DISK))
     # Exact page dedup: min page per content hash (4 pages share each
     # document's text, so this collapses the corpus ~4×).
     ded = (ptext.groupBy(F.md5(F.encode("text", "utf-8")).alias("h"))
            .agg(F.min("page_id").alias("page_id"),
                 F.count(F.lit(1)).alias("n_copies")))
-    keep_pages = ptext.join(ded.select("page_id", "n_copies"), "page_id")
-    # Doc-side keep-list: the corpus_filter funnel (near-dup canonical
-    # keepers + quality/lang/repetition + decontamination), verbatim.
-    cf = (_q_corpus_filter(spark, sf_dir)
-          .select(F.col("doc_id").alias("doc_key")))
-    surv = keep_pages.join(cf, "doc_key", "left_semi")
+    surv = ptext.join(ded.select("page_id", "n_copies"), "page_id")
     packed = (packing.seq_pack(surv, text_col="text", id_col="page_id",
                                seq_len=2048, bucket_width=64)
               .withColumnRenamed("doc_id", "page_id"))
@@ -1612,15 +1634,19 @@ def oracle_sql() -> dict[str, str]:
             pg AS (SELECT page_id, url, COUNT(*) AS n_variants,
                           page_id % (SELECT n_docs FROM nd) AS doc_key
                    FROM v GROUP BY page_id, url),
+            -- keep-list filters page keys BEFORE text attaches, then
+            -- exact dedup runs over the survivors (filter-then-dedup
+            -- order, mirroring the Spark plan's single text boundary)
             ptext AS (SELECT p.page_id, p.url, p.doc_key, p.n_variants,
                              d.text
-                      FROM pg p JOIN documents d ON d.doc_id = p.doc_key),
+                      FROM pg p
+                      JOIN cf_keep k ON k.doc_id = p.doc_key
+                      JOIN documents d ON d.doc_id = p.doc_key),
             ded AS (SELECT MIN(page_id) AS page_id, COUNT(*) AS n_copies
                     FROM ptext GROUP BY md5(text)),
             surv AS (SELECT t.page_id, t.url, t.doc_key, t.n_variants,
                             dd.n_copies, t.text
-                     FROM ded dd JOIN ptext t USING (page_id)
-                     JOIN cf_keep k ON k.doc_id = t.doc_key),
+                     FROM ded dd JOIN ptext t USING (page_id)),
             cnt AS (SELECT page_id, url, doc_key, n_variants, n_copies,
                            (len(regexp_extract_all(text,
                               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) + 1)

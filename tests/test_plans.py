@@ -110,15 +110,19 @@ def test_host_salted_variant_has_single_exchange(spark):
 
 def test_extract_to_shards_text_crosses_two_exchanges(spark):
     """The end-to-end pages→shards composition (VERDICT r3 task 7): the
-    wide text payload may cross exactly the two doc-attach Exchanges (the
-    documents-side join shuffle and the page-text shuffle into exact
-    dedup); every other shuffle moves keys/aggregates only. Also no
-    cartesian/nested-loop product anywhere in the composed plan."""
+    wide text payload may cross exactly two Exchanges — the doc-attach
+    join and the survivor join's page_id alignment (ded can't broadcast
+    at crawl scale). The keep-list filters page KEYS before text
+    attaches, and the persisted ptext boundary stops every downstream
+    branch from re-extracting. Also no cartesian/nested-loop product
+    anywhere in the composed plan."""
     df = E.queries()["extract_to_shards"](spark, SF)
     plan = A.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert A.n_column_carrying_exchanges(df, "text") <= 2, plan
+    # the materialization boundary is present and feeds >1 branch
+    assert plan.count("InMemoryTableScan") >= 2, plan
     # page bytes (html) must never shuffle, composed or not
     assert A.n_column_carrying_exchanges(df, "html") == 0, plan
 
