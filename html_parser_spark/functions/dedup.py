@@ -276,7 +276,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     # within-cluster output is inherently d², so at crawl scale one would
     # emit (representative, member) instead — that choice belongs to the
     # output contract, not the join.
-    sig_tbl = simhash64_table(docs, id_col, text_col)  # (doc_id, sig)
+    # Materialize the fingerprint table (Manku et al. store it as sorted
+    # shards for exactly this reason): five branches below consume it,
+    # each pruning different columns, so without a boundary the
+    # tokenize-and-vote lineage re-runs per branch (~6 scans measured).
+    # 16 bytes/row — a billion-doc corpus is ~16 GB cluster-wide.
+    from pyspark import StorageLevel
+    sig_tbl = (simhash64_table(docs, id_col, text_col)  # (doc_id, sig)
+               .persist(StorageLevel.MEMORY_AND_DISK))
     sigs = sig_tbl.select("sig").distinct()
     bands = sigs.select(
         "sig",
