@@ -556,21 +556,53 @@ def extract_nextprops_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[
 # -- inline-js-detail (costco/parse_costco.py) ------------------------------
 
 def extract_inline_js_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dict]:
+    """costco/parse_costco.py twin. The three inline-JS carriers live in
+    DIFFERENT <script> elements on the real pages (verified on
+    costco_{1..4}.html): the adobeProductData scalars (priceMax/priceMin/
+    pid/sku, ref :47-64), the ``var products``/``var options`` nested
+    arrays (:288-300), and the itemDetailsList image list (:125-132) —
+    so each is located by its own marker, exactly as the reference's
+    per-marker script loops do. Deliberate normalizations vs the raw
+    reference output (documented so parity review can discount them):
+    money/quantity strings parse to numbers (T5/T6/T8), empty lists
+    normalize to None, and the reference's misspelled
+    ``additional_demensions`` key (:202) is spelled correctly."""
     script = C.script_containing(scripts, "priceMax")  # Q3 loop+break
     if script is None:
         return None
     price = F.parse_money(C.regex_scalar(script, r"priceMax\s*:\s*'(.*?)'"))
     pid = C.regex_scalar(script, r"pid\s*:\s*'(.*?)'")
     sku = C.regex_scalar(script, r"sku\s*:\s*'(.*?)'")
-    cdn = C.regex_scalar(script, r"cdn_url\s*:\s*'(.*?)'")
+    # price_listing ← priceMin (ref :53-55; distinct from priceMax on
+    # multi-variant pages, e.g. costco_1 799.99 vs 1249.99).
+    price_listing = F.parse_money(
+        C.regex_scalar(script, r"priceMin\s*:\s*'(.*?)'"))
     list_price = F.parse_money(
         F.decode_b64(C.regex_scalar(script, r"priceListTotal\s*:\s*'(.*?)'")))
-    options = C.regex_json(script, r"var options\s*=\s*(\[.*?\]);",
-                           normalize_quotes=True)  # J2 + ' → "
-    variants = [
-        {"type": o.get("type"), "value": o.get("value"),
-         "available": o.get("available")}
+    # Variants carrier: var products = [ [ {...} ] ]; the ref pattern
+    # (:290-291) captures the INNER array. Same script carries options.
+    vscript = C.script_containing(scripts, "var products = [")
+    prods = C.regex_json(vscript, r"var\s*products\s*=\s*\[\s*(\[.*?\])\s*\];")
+    options = C.regex_json(vscript,
+                           r"var\s*options\s*=\s*\[\s*(\[.*?\])\s*\];",
+                           normalize_quotes=True)  # J2 + ' → " (ref :298)
+    variant_options = [
+        {"name": gj(o, ["n"]), "values": gj(o, ["v"])}
         for o in options or []
+    ] or None
+    # 9-field variant projection with base64-carried prices (ref :313-334).
+    variants = [
+        {"part_number": gj(v, ["partNumber"]),
+         "product_url": gj(v, ["productUrl"]),
+         "price": F.parse_money(F.decode_b64(gj(v, ["price"]) or None)),
+         "list_price": F.parse_money(F.decode_b64(gj(v, ["listPrice"])
+                                                  or None)),
+         "min_quantity": F.parse_int(gj(v, ["minQty"])),
+         "max_quantity": F.parse_int(gj(v, ["maxQty"])),
+         "img_url": gj(v, ["img_url"]),
+         "options": gj(v, ["options"]),
+         "inventory": gj(v, ["inventory"])}
+        for v in prods or []
     ] or None
 
     def meta(prop: str) -> Optional[str]:
@@ -599,14 +631,38 @@ def extract_inline_js_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[
             ]
             specifications = rows or None
         break
-    # T19: "Includes:" text after the marker, comma-split (:160-164).
+    # T19: "Includes:" — the ref takes ``contents[4]`` of the first
+    # matching <p> (:160-164), which on every committed real page is the
+    # TEXT NODE immediately after the <strong>Includes:</strong> marker
+    # (the node list stops at the following <br/>, so the trailing
+    # "Features:" label in the same <p> never leaks in). Implemented as
+    # that invariant rather than a brittle positional index: find the
+    # marker child, take the next non-empty #text sibling, comma-split.
     includes = None
     for p in S.select(dom, "p"):
-        text = dom.node_text(p)
-        if "Includes:" in text:
-            includes = [i.strip()
-                        for i in text.split("Includes:", 1)[1].split(",")]
-            break
+        if "Includes:" not in dom.node_text(p):
+            continue
+        kids = dom.children(p)
+        after = None
+        seen_marker = False
+        for child in kids:
+            ctext = (dom.texts[child] if dom.tags[child] == "#text"
+                     else dom.node_text(child)) or ""
+            if seen_marker and dom.tags[child] == "#text" and ctext.strip():
+                after = ctext
+                break
+            if "Includes:" in ctext:
+                seen_marker = True
+                # marker inside a text node (synthetic single-text form):
+                # the remainder of that same node is the payload
+                if dom.tags[child] == "#text":
+                    rest = ctext.split("Includes:", 1)[1]
+                    if rest.strip():
+                        after = rest
+                        break
+        if after is not None:
+            includes = [i.strip() for i in after.strip().split(",")]
+        break
     # Model numbers / pills / manuals (:100-117, :222-232).
     model_numbers = [
         dom.node_text(s).strip()
@@ -633,19 +689,26 @@ def extract_inline_js_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[
         "brand": F.collapse_ws(dom.node_text(brand_node)) if brand_node else None,
         "price": price,
         "list_price": list_price,
-        "price_listing": list_price,
+        "price_listing": price_listing,
         "currency": (dom.node_text(currency_n).strip()
                      if currency_n is not None else "USD"),
         "currency_symbol": "$",
         "rating": None,
         "total_ratings": None,
         "total_reviews": None,
+        "review_aspects": None,   # network-only in the ref (:265-268)
         "description": meta("og:description"),
         "main_image": main_image,
-        "images": C.regex_all(script, r"cdn_url:\s*'([^']*)',") or
-                  ([cdn] if cdn else []),
+        # Images live in the itemDetailsList script, NOT the priceMax one
+        # (separate <script> elements on all four real pages; ref :125-132
+        # locates it by its own marker loop).
+        "images": C.regex_all(
+            C.script_containing(scripts, "itemDetailsList"),
+            r"cdn_url:\s*'([^']*)',"),
         "categories": None,
         "specifications": specifications,
+        "variant": None,          # always None in the ref (:274-276)
+        "variant_options": variant_options,
         "variants": variants,
         "in_stock": None,
         "url": _canonical_url(dom, url),
@@ -697,19 +760,25 @@ def _contents_text(dom: FlatDOM, selector: str) -> str:
 
 
 def _sibling_ul_items(dom: FlatDOM, marker: str) -> list[str]:
-    """find_next_sibling('ul') after a <p> whose text contains marker (Q5)."""
+    """find_next_sibling('ul') after EVERY <p> whose text contains marker
+    (Q5). The reference loops over all matching paragraphs and appends
+    (costco/parse_costco.py:167-200 — no break), so a page with two
+    "Features:" paragraphs contributes both lists, in document order."""
+    items: list[str] = []
     for p in S.select(dom, "p"):
-        if marker in dom.node_text(p):
-            parent = dom.parent[p]
-            sibs = dom.children(parent)
-            try:
-                at = sibs.index(p)
-            except ValueError:
-                continue
-            for s in sibs[at + 1:]:
-                if dom.tags[s] == "ul":
-                    return F.parse_ul(dom, s)
-    return []
+        if marker not in dom.node_text(p):
+            continue
+        parent = dom.parent[p]
+        sibs = dom.children(parent)
+        try:
+            at = sibs.index(p)
+        except ValueError:
+            continue
+        for s in sibs[at + 1:]:
+            if dom.tags[s] == "ul":
+                items.extend(F.parse_ul(dom, s))
+                break
+    return items
 
 
 # -- pixels-detail (overstock/parse_overstock.py) ---------------------------
@@ -778,15 +847,18 @@ def extract_pixels_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dic
         {"name": d.split(": ", 1)[0], "value": d.split(": ", 1)[1]}
         for d in buckets["dimensions"] if ": " in d
     ] or None
-    # Q8: data-URI filter + data-src fallback + https: prefix (:177-189).
+    # Q8: data-URI filter + data-src fallback + https: prefix + query strip
+    # (:177-189). The ref's select_one("img") is a DESCENDANT search —
+    # real pages nest the <img> inside gallery-zoom-open/div/a/picture,
+    # so a direct-child scan finds nothing there.
     images = []
     for li in S.select(dom, "li.media-viewer__item"):
-        for img in dom.children(li):
-            if dom.tags[img] != "img":
-                continue
-            src = dom.attr(img, "data-src") or dom.attr(img, "src")
-            if src and not src.startswith("data:"):
-                images.append(F.prefix_url("", src))
+        img = S.select_one(dom, "img", root=li)
+        if img is None:
+            continue
+        src = dom.attr(img, "data-src") or dom.attr(img, "src")
+        if src and not src.startswith("data:"):
+            images.append(F.strip_query(F.prefix_url("", src)))
     rollup = gj(reviews, ["rollup"]) or {}
     detail = {
         "product_id": (str(prod.get("id")) if prod.get("id") is not None
@@ -814,6 +886,10 @@ def extract_pixels_detail(dom: FlatDOM, scripts: list, url: str) -> Optional[dic
         "in_stock": prod.get("available"),
         "url": missing.get("url") or _canonical_url(dom, url),     # ref :119
         "features": buckets["features"] or None,
+        # Raw "Dimensions:" section lines (ref :229-230 emits the list
+        # itself; the name/value split below is the repo's normalized
+        # ``specifications`` view of the same lines).
+        "dimensions": buckets["dimensions"] or None,
         "max_quantity": gj(prod, ["inventory", 0, "quantity"]),
         "variant": ({"id": gj(product_variants, [0, "id"])}
                     if product_variants else None),

@@ -558,23 +558,46 @@ def _render_inline_js_detail(p: dict, url: str) -> str:
     # :313-319 (base64 price), :160-200 (sibling-navigated Features/Dimensions).
     b64_price = base64.b64encode(f"{p['price']:.2f}".encode()).decode()
     b64_list = base64.b64encode(f"{p['list_price']:.2f}".encode()).decode()
-    products_js = json.dumps([{
-        "catalogId": p["product_id"], "name": p["name"],
-        "imageUrl": p["images"][0],
-    }]).replace('"', "'")
-    options_js = json.dumps(
-        [{"type": v["type"], "value": v["value"], "available": v["available"]}
-         for v in p["variants"]]
-    ).replace('"', "'")
+    # Reference carrier shapes (verified on costco_{1..4}.html): products
+    # and options are DOUBLY-nested arrays — the ref regex (:290-291)
+    # captures the inner one — options is single-quoted (the ref's
+    # ' → " fix-up, :298), and the three carriers live in three SEPARATE
+    # <script> elements (adobe scalars / products+options /
+    # itemDetailsList), which is exactly the layout that distinguishes
+    # per-marker script location from one-script regexing.
+    def _b64(x: float) -> str:
+        return base64.b64encode(f"{x:.2f}".encode()).decode()
+
+    products_js = json.dumps([[
+        {"partNumber": f"{p['product_id']}-{k}",
+         "productUrl": f"{url}?variant={k}",
+         # k % 3 == 0 → empty price string (the ref's falsy branch)
+         "price": _b64(p["price"] + k) if k % 3 else "",
+         "listPrice": _b64(p["list_price"] + k),
+         "minQty": "1", "maxQty": "9999",
+         "img_url": p["images"][k % len(p["images"])],
+         "options": [str(7000 + k)],
+         "inventory": "IN_STOCK" if v["available"] else "OUT_OF_STOCK"}
+        for k, v in enumerate(p["variants"])
+    ]])
+    options_js = json.dumps([[
+        {"n": "Color", "s": "0",
+         "v": {str(7000 + k): v["value"]
+               for k, v in enumerate(p["variants"])}}
+    ]]).replace('"', "'")
     inline = (
         "var adobeProductData = {"
         f"priceMax: '{p['price']:.2f}', priceMin: '{p['price']:.2f}', "
         f"pid: '{p['product_id']}', sku: 'SKU{p['product_id']}', "
         f"priceTotal: '{b64_price}', priceListTotal: '{b64_list}', "
         f"cdn_url: '{p['images'][0]}'"
-        "};\n"
+        "};"
+    )
+    inline_variants = (
         f"var products = {products_js};\n"
-        f"var options = {options_js};\n"
+        f"var options = {options_js};"
+    )
+    inline_images = (
         "var itemDetailsList = ["
         + "".join("{cdn_url: '%s',}," % u for u in p["images"])
         + "];"
@@ -607,7 +630,12 @@ def _render_inline_js_detail(p: dict, url: str) -> str:
         + f'<div class="single-pill">Top Seller {pid % 3}</div>'
         + '<div class="single-pill">Member Favorite</div></div>'
         + f'<div class="description"><p>{p["description"]}</p></div>'
-        + f"<p>Includes: Unit {pid % 4}, Manual, Power cable</p>"
+        # Real-page Includes shape (costco_3): the payload is the text
+        # node between the <strong> marker and the following <br/>, with
+        # a trailing <strong>Features:</strong> in the SAME <p> — the
+        # leak the ref's contents[4] never picks up.
+        + (f"<p><br/><strong>Includes:</strong>&nbsp;Unit {pid % 4}, "
+           "Manual, Power cable<br/><br/><strong>Extras:</strong></p>")
         + f"<p>Features: includes the following</p><ul>{feats}</ul>"
         + f"<p>Dimensions and Weight: see below</p><ul>{dims}</ul>"
         + f"<p>Additional Dimensions: more</p><ul>{extra_dims}</ul>"
@@ -625,6 +653,8 @@ def _render_inline_js_detail(p: dict, url: str) -> str:
            if pid % 2 == 0 else "")
         + "</article></main>"
         + f"<script>{inline}</script>"
+        + f"<script>{inline_variants}</script>"
+        + f"<script>{inline_images}</script>"
         + _FOOTER
     )
 
@@ -1664,12 +1694,27 @@ def golden_envelope(idx: int) -> Optional[dict]:
         detail["rating"] = None
         detail["total_ratings"] = None
         detail["total_reviews"] = None
+        detail["review_aspects"] = None
         detail["in_stock"] = None
-        detail["variants"] = [
-            {"type": "Color", "value": v["value"], "available": v["available"]}
-            for v in p["variants"]
+        detail["variant"] = None
+        detail["variant_options"] = [
+            {"name": "Color",
+             "values": {str(7000 + k): v["value"]
+                        for k, v in enumerate(p["variants"])}}
         ]
-        detail["price_listing"] = round(p["list_price"], 2)
+        detail["variants"] = [
+            {"part_number": f"{p['product_id']}-{k}",
+             "product_url": f"{url}?variant={k}",
+             "price": round(p["price"] + k, 2) if k % 3 else None,
+             "list_price": round(p["list_price"] + k, 2),
+             "min_quantity": 1, "max_quantity": 9999,
+             "img_url": p["images"][k % len(p["images"])],
+             "options": [str(7000 + k)],
+             "inventory": ("IN_STOCK" if v["available"]
+                           else "OUT_OF_STOCK")}
+            for k, v in enumerate(p["variants"])
+        ]
+        detail["price_listing"] = p["price"]
         detail["main_image"] = p["images"][0]
         detail["images"] = list(p["images"])
         detail["dimensions_weight"] = [
@@ -1693,6 +1738,8 @@ def golden_envelope(idx: int) -> Optional[dict]:
         detail["list_price"] = None
         detail["description"] = p["description"] + "\n"
         detail["features"] = list(p["features"])
+        detail["dimensions"] = [
+            f"{s['name']}: {s['value']}" for s in p["specifications"]]
         detail["specifications"] = [dict(s) for s in p["specifications"]]
         detail["product_id"] = p["product_id"]
         detail["listing_id"] = f"L{pid}"

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import pytest
 
@@ -300,6 +301,208 @@ def test_overstock_real_pages_extract():
         assert d["name"] and d["brand"] and d["listing_id"], name
         assert isinstance(d["price"], (int, float)), name
         assert d["main_image"], name
+
+
+def _strip_tags(s: str) -> str:
+    import html as _html
+    return _html.unescape(re.sub(r"<[^>]+>", "", s)).strip()
+
+
+def test_costco_deep_field_parity():
+    """VERDICT r3 task 4: every deep extraction path of parse_costco.py
+    pinned on the real pages against INDEPENDENT pulls straight from the
+    page bytes — the same carve the reference performs, re-done with
+    plain regex/json in this test so the extractor's values are pinned
+    to page content, not to itself.
+
+    Paths covered: priceMin → price_listing (:53-55), itemDetailsList →
+    images (:125-132), nested products/options arrays → variants with
+    base64 prices + variant_options (:283-334), Includes text node
+    (:160-164), Features sibling-ul (:167-177), Specifications rows
+    (:203-219)."""
+    import base64 as _b64
+    for i in (1, 2, 3, 4):
+        page = open(f"{REF}/costco/costco_{i}.html", encoding="utf-8",
+                    errors="replace").read()
+        out = _run(f"{REF}/costco/costco_{i}.html",
+                   f"https://www.costco.com/x.product.{i}.html")
+        d = json.loads(out["envelope"])["detail"]
+
+        # price_listing ← priceMin
+        m = re.search(r"priceMin\s*:\s*'(.*?)'", page)
+        assert d["price_listing"] == float(m.group(1).replace(",", "")), i
+
+        # images ← the script that carries itemDetailsList
+        scripts = re.findall(r"<script[^>]*>(.*?)</script>", page, re.DOTALL)
+        idl = next(s for s in scripts if "itemDetailsList" in s)
+        want_imgs = re.findall(r"cdn_url:\s*'([^']*)',", idl)
+        assert len(want_imgs) >= 3, i
+        assert d["images"] == want_imgs, i
+
+        # variants ← var products = [ [ ... ] ] with b64 prices
+        vs = next(s for s in scripts if "var products = [" in s)
+        prods = json.loads(re.search(
+            r"var\s*products\s*=\s*\[\s*(\[.*?\])\s*\]\;", vs,
+            re.DOTALL).group(1))
+        assert len(d["variants"]) == len(prods) >= 1, i
+        for got, raw in zip(d["variants"], prods):
+            assert got["part_number"] == raw["partNumber"], i
+            assert got["product_url"] == raw["productUrl"], i
+            assert got["inventory"] == raw["inventory"], i
+            assert got["options"] == raw["options"], i
+            for k_ours, k_ref in (("price", "price"),
+                                  ("list_price", "listPrice")):
+                b = raw.get(k_ref)
+                want = (float(_b64.b64decode(b).decode().replace(",", ""))
+                        if b else None)
+                assert got[k_ours] == want, (i, k_ours, b)
+
+        # variant_options ← var options = [ [ ... ] ], ' → " normalized
+        opts = json.loads(re.search(
+            r"var\s*options\s*=\s*\[\s*(\[.*?\])\s*\]\;", vs,
+            re.DOTALL).group(1).replace("'", '"'))
+        if opts:
+            assert d["variant_options"] == [
+                {"name": o.get("n"), "values": o.get("v")} for o in opts], i
+        else:
+            assert d["variant_options"] is None, i
+
+        # specifications ← div.row spec-name/value cell pairs
+        h3 = re.search(r'<h3 class="section-title">\s*Specifications', page)
+        assert h3 is not None, i
+        sect = page[h3.start():page.find("<h3", h3.start() + 10)]
+        rows = re.findall(
+            r'<div class="spec-name[^>]*>(.*?)</div>\s*'
+            r'<div[^>]*>([^<]*?)</div>', sect, re.DOTALL)
+        want_specs = [{"name": _strip_tags(k), "value": _strip_tags(v)}
+                      for k, v in rows]
+        assert d["specifications"] == want_specs and len(want_specs) >= 3, i
+
+    # Includes / Features on the page that carries them inside a <p>
+    # (costco_3; on costco_1 the blob sits outside any <p>, so the
+    # reference's paragraph loop — and ours — correctly yields None).
+    page = open(f"{REF}/costco/costco_3.html", encoding="utf-8",
+                errors="replace").read()
+    out = _run(f"{REF}/costco/costco_3.html",
+               "https://www.costco.com/x.product.3.html")
+    d = json.loads(out["envelope"])["detail"]
+    m = re.search(r"<strong>Includes:</strong>([^<]*)<", page)
+    want_includes = [s.strip() for s in _strip_tags(m.group(1)).split(",")]
+    assert d["includes"] == want_includes, d["includes"]
+    assert not any("Features:" in s for s in d["includes"])  # no leak
+    # Features ul items, tag-stripped
+    fpos = page.find("<strong>Features:</strong>")
+    ul = page[page.find("<ul>", fpos):page.find("</ul>", fpos)]
+    want_feats = [_strip_tags(li)
+                  for li in re.findall(r"<li>(.*?)</li>", ul, re.DOTALL)]
+    assert d["features"] == want_feats and len(want_feats) >= 5
+
+    out1 = _run(f"{REF}/costco/costco_1.html",
+                "https://www.costco.com/x.product.1.html")
+    assert json.loads(out1["envelope"])["detail"]["includes"] is None
+
+
+def test_overstock_deep_field_parity():
+    """VERDICT r3 task 4: the overstock deep paths pinned on every real
+    snapshot against independent pulls — the X1 sectionizer replayed
+    VERBATIM from parse_overstock.py:205-229 over the independently
+    regex-pulled missingAttributes.description, plus images
+    (descendant <img>, https: prefix, query strip, :177-189), overview/
+    details_table from the datalayer attributeList (:195-201,232),
+    variants from initData productVariants (:240-252) and max_quantity
+    (:166). review_aspects/rating come from a PowerReviews NETWORK call
+    in the reference (:150-156) — out of scope (S3-S5), pinned None."""
+    snaps = sorted(f for f in os.listdir(f"{REF}/overstock")
+                   if f.endswith(".html"))
+    covered_imgs = covered_feats = 0
+    for name in snaps:
+        page = open(f"{REF}/overstock/{name}", encoding="utf-8",
+                    errors="replace").read()
+        out = _run(f"{REF}/overstock/{name}",
+                   "https://www.bedbathandbeyond.com/p/x")
+        d = json.loads(out["envelope"])["detail"]
+
+        missing = json.loads(re.search(
+            r"const\s+missingAttributes\s*=\s*(\{.*?\})\s*const\s+scripts",
+            page, re.DOTALL).group(1))
+        # --- reference sectionizer, verbatim (:205-229) ---
+        features, dimensions, description_new = [], [], ""
+        status = "description"
+        for line in (missing.get("description") or "").splitlines():
+            line = line.strip()
+            if line == "":
+                continue
+            if line.lower() == "features:":
+                status = "features"
+            elif line.lower() == "dimensions:":
+                status = "dimensions"
+            elif line.endswith(":"):
+                status = "none"
+            else:
+                if status == "features":
+                    features.append(line)
+                elif status == "dimensions":
+                    dimensions.append(line)
+                elif status == "description":
+                    description_new += f"{line}\n"
+        assert d["description"] == description_new, name
+        assert d["features"] == (features or None), name
+        assert d["dimensions"] == (dimensions or None), name
+        covered_feats += bool(features)
+
+        # --- images: li.media-viewer__item → descendant img ---
+        want_imgs = []
+        for li in re.findall(
+                r'<li class="media-viewer__item.*?</li>', page, re.DOTALL):
+            img = re.search(r"<img[^>]*>", li)
+            if not img:
+                continue
+            src = (re.search(r'data-src="([^"]*)"', img.group(0))
+                   or re.search(r'\bsrc="([^"]*)"', img.group(0)))
+            if src and not src.group(1).startswith("data:"):
+                u = src.group(1)
+                u = u if u.startswith("http") else "https:" + u
+                want_imgs.append(_strip_tags(u.split("?")[0]))
+        assert d["images"] == want_imgs, name
+        covered_imgs += bool(want_imgs)
+
+        # --- datalayer: overview/details_table, max_quantity ---
+        dl = re.findall(
+            r"window.salesforce.datalayer.product\s*=\s*(\{.*?\})\;",
+            page, re.DOTALL)
+        prod = json.loads(dl[1] if len(dl) > 1 else dl[0])
+        want_overview = [{"name": a.get("label"), "value": a.get("values")}
+                         for a in prod.get("attributeList") or []] or None
+        assert d["overview"] == want_overview, name
+        assert d["details_table"] == want_overview, name
+        inv = prod.get("inventory") or []
+        assert d["max_quantity"] == (inv[0].get("quantity")
+                                     if inv else None), name
+
+        # --- initData productVariants: variants + variant + listing_id ---
+        setup = re.search(
+            r'<script[^>]*id="web-pixels-manager-setup"[^>]*>(.*?)</script>',
+            page, re.DOTALL).group(1)
+        init = json.loads(re.search(
+            r'initData:\s*(\{.*?purchasingCompany\"\:null\})\,\}',
+            setup, re.DOTALL).group(1))
+        pv = init.get("productVariants") or []
+        assert len(d["variants"] or []) == len(pv), name
+        for got, raw in zip(d["variants"] or [], pv):
+            assert got["price"] == (raw.get("price") or {}).get("amount")
+            assert got["sku"] == raw.get("sku")
+            assert got["id"] == raw.get("id")
+            assert got["title"] == (raw.get("product") or {}).get("title")
+        if pv:
+            assert d["variant"] == {"id": pv[0].get("id")}, name
+            assert d["listing_id"] == (pv[0].get("product")
+                                       or {}).get("id"), name
+
+        # network-only in the reference — honest None offline
+        assert d["review_aspects"] is None and d["rating"] is None, name
+    # the corpus must actually exercise the gallery and feature paths
+    assert covered_imgs >= 5 and covered_feats >= 1, (covered_imgs,
+                                                      covered_feats)
 
 
 def _wrap_script(payload: str, script_id: str, url: str) -> bytes:
