@@ -58,7 +58,10 @@ def _session(cores: int):
 # Pinned idle-box single-thread kernel rate (docs/s) for the in-JSON
 # contention control — re-pin when the kernel or corpus renderer changes
 # (VERDICT r2 task 1; measured best-of-3 on 200 filler-30 pages).
-CONTROL_REF = float(os.environ.get("BENCH_CONTROL_REF", "360"))
+# Re-pinned for round 4: the costco/overstock deep-parity work changed
+# both the renderer payloads and the extractor paths; median of 5 idle-box
+# trials 369.8-384.3.
+CONTROL_REF = float(os.environ.get("BENCH_CONTROL_REF", "375"))
 
 # Pinned idle-box 8-process kernel rate for the MULTI-CORE control: host
 # contention can collapse aggregate memory bandwidth 2-4x while leaving
@@ -66,7 +69,10 @@ CONTROL_REF = float(os.environ.get("BENCH_CONTROL_REF", "360"))
 # 4x suite collapse), so the single-thread control alone cannot clear an
 # artifact. Band is wider (30%) than the single-thread one: multi-core
 # trial noise is ~±10% even idle, and the signal this catches is 2-4x.
-CONTROL8_REF = float(os.environ.get("BENCH_CONTROL8_REF", "1800"))
+# Re-pinned for round 4 with the single-thread ref (same renderer/kernel
+# change); median of 5 idle-box trials 2633.8-3065.3 — 0.89 of 8x the
+# single-thread rate, consistent with the known host bandwidth cap.
+CONTROL8_REF = float(os.environ.get("BENCH_CONTROL8_REF", "2660"))
 
 
 def multicore_control() -> float:
@@ -254,24 +260,51 @@ def _run_north_pair() -> dict:
     best-of-3 over the whole corpus stays behind --scaling. The 2→8 pair
     is the representative proxy — this VM's host-capped memory bandwidth
     flattens any 32-core leg (BASELINE.md), which added machines would
-    not share."""
+    not share.
+
+    Three independent pair runs, medians quoted: a single pair reading
+    moves ±10% with host noise (three rounds of BASELINE.md prose carried
+    the 3-run medians; VERDICT r3 task 2 wants them in the artifact
+    itself). Each run is its own pinned subprocess pair, so the median is
+    over whole fresh-JVM measurements, not within-JVM repeats."""
     n_cpus = os.cpu_count() or 2
-    levels = {}
-    for cores in (c for c in (2, 8) if c <= n_cpus):
-        out = _child(["--level", str(cores), "--subset-mod", "4",
-                      "--repeats", "2"])
-        levels[str(cores)] = json.loads(out.strip().splitlines()[-1])
+    cores_set = [c for c in (2, 8) if c <= n_cpus]
+    runs: list[dict] = []
+    for _ in range(3):
+        levels = {}
+        for cores in cores_set:
+            out = _child(["--level", str(cores), "--subset-mod", "4",
+                          "--repeats", "1"])
+            levels[str(cores)] = json.loads(out.strip().splitlines()[-1])
+        run = {"levels": levels}
+        if "2" in levels and "8" in levels:
+            run["efficiency_2_to_8"] = round(
+                levels["8"]["docs_per_sec"]
+                / (4 * levels["2"]["docs_per_sec"]), 3)
+        runs.append(run)
+
+    def _median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        return xs[len(xs) // 2]
+
     result = {
-        "levels": levels,
-        "protocol": "per-level subprocess pinned to its own N-CPU set, "
-                    "fresh JVM, no other JVM alive; deterministic 1/4 "
-                    "url-hash corpus subset, one warm pass then "
-                    "best-of-2; full-corpus 2/8/32 via --scaling",
+        "runs": runs,
+        "median_docs_per_sec": {
+            str(c): _median([r["levels"][str(c)]["docs_per_sec"]
+                             for r in runs]) for c in cores_set},
+        "protocol": "3 independent pair runs, each level its own "
+                    "subprocess pinned to its own N-CPU set, fresh JVM, "
+                    "no other JVM alive; deterministic 1/4 url-hash "
+                    "corpus subset, one warm pass then one timed; "
+                    "medians quoted; full-corpus 2/8/32 via --scaling",
     }
-    if "2" in levels and "8" in levels:
+    if len(cores_set) == 2:
+        # Efficiency of medians (the quotable number) plus the per-run
+        # spread so the artifact shows its own variance.
         result["efficiency_2_to_8"] = round(
-            levels["8"]["docs_per_sec"]
-            / (4 * levels["2"]["docs_per_sec"]), 3)
+            result["median_docs_per_sec"]["8"]
+            / (4 * result["median_docs_per_sec"]["2"]), 3)
+        result["efficiency_runs"] = [r["efficiency_2_to_8"] for r in runs]
     return result
 
 
@@ -294,10 +327,26 @@ def main() -> None:
 
     # Contention control BEFORE any JVM exists: pure-Python kernel rate on
     # the idle process, compared against the pinned idle-box reference.
-    control = single_thread_control()
-    control_ratio = round(control / CONTROL_REF, 3)
-    control8 = multicore_control()
-    control8_ratio = round(control8 / CONTROL8_REF, 3)
+    # The controls are cheap (~8 s) and the host's contention windows are
+    # transient, so a flagged reading retries after a backoff instead of
+    # recording a not-comparable-at-face-value artifact (VERDICT r3 task 2:
+    # the per-round BENCH must itself be a clean-window run). If the box
+    # never goes quiet the last reading is kept and the flag stays true —
+    # the retry makes a clean window likely, never fakes one.
+    control_attempts = 0
+    for attempt in range(5):
+        control_attempts = attempt + 1
+        control = single_thread_control()
+        control_ratio = round(control / CONTROL_REF, 3)
+        control8 = multicore_control()
+        control8_ratio = round(control8 / CONTROL8_REF, 3)
+        if (abs(control_ratio - 1.0) <= 0.2
+                and abs(control8_ratio - 1.0) <= 0.3):
+            break
+        print(f"bench: controls out of band (1T {control_ratio}, "
+              f"8P {control8_ratio}), retry {attempt + 1}/4 in 20 s",
+              file=sys.stderr)
+        time.sleep(20)
 
     # Scaling levels BEFORE the parent JVM exists (see _run_scaling_levels).
     # The default run carries the reduced north pair so BENCH_r{N}.json is
@@ -336,6 +385,13 @@ def main() -> None:
     for name in sorted(set(qmap) - skip):
         queries[name] = _timed(lambda n=name: qmap[n](spark, SF_DIR))
 
+    # Closing control: contention that starts mid-suite would pass the
+    # opening gate, so the window is only claimed clean if the kernel rate
+    # still holds after the last timed query. (Runs beside the live JVM —
+    # idle at this point — so it shares the 20% band.)
+    control_post = single_thread_control()
+    control_post_ratio = round(control_post / CONTROL_REF, 3)
+
     result = {
         # value = total wall seconds of the whole query suite (per-query
         # map below); extraction throughput itself is docs_per_sec.
@@ -361,11 +417,17 @@ def main() -> None:
         "control8_docs_per_sec": control8,
         "control8_ref": CONTROL8_REF,
         "control8_ratio": control8_ratio,
-        # Flags when EITHER control deviates: single-thread (20% band)
+        "control_attempts": control_attempts,
+        "control_post_docs_per_sec": control_post,
+        "control_post_ratio": control_post_ratio,
+        # Flags when ANY control deviates: single-thread (20% band)
         # catches per-core slowdowns; 8-process (30% band) catches the
-        # aggregate-bandwidth collapses that leave 1-thread rates intact.
+        # aggregate-bandwidth collapses that leave 1-thread rates intact;
+        # the post-suite re-check (20% band) catches contention that
+        # started after the opening gate.
         "contention_flag": (abs(control_ratio - 1.0) > 0.2
-                            or abs(control8_ratio - 1.0) > 0.3),
+                            or abs(control8_ratio - 1.0) > 0.3
+                            or abs(control_post_ratio - 1.0) > 0.2),
     }
 
     if scaling_result is not None:
