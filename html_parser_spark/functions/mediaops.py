@@ -10,8 +10,10 @@ codec layer is swappable:
   else changes. Real, dependency-free branches exist so the sandbox can
   test actual codecs: uncompressed 24-bit BMP (``_decode_bmp``), 8-bit
   truecolor PNG with all five scanline filters (``_decode_png``, stdlib
-  zlib), PCM WAV audio (``decode_wav``, stdlib wave), and header-only
-  dimension sniffing for BMP/PNG/GIF/JPEG (``image_dimensions``).
+  zlib), baseline sequential JPEG (``_decode_jpeg``: Huffman + dequant +
+  IDCT + chroma upsample, with ``encode_jpeg`` as the test inverse), PCM
+  WAV audio (``decode_wav``, stdlib wave), and header-only dimension
+  sniffing for BMP/PNG/GIF/JPEG (``image_dimensions``).
 - ``_decode_fake``: deterministic byte-level features (length, header,
   checksum) — exercised by tests and by the driver's DuckDB oracle, since
   the fake payloads are md5-hex bytes reproducible in SQL.
@@ -33,8 +35,9 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["MEDIA_FEATURES_SCHEMA", "extract_media_features",
-           "decode_image", "encode_bmp", "encode_png", "decode_wav",
-           "encode_wav", "image_dimensions", "sample_video_frames"]
+           "decode_image", "encode_bmp", "encode_png", "encode_jpeg",
+           "decode_wav", "encode_wav", "image_dimensions",
+           "sample_video_frames"]
 
 MEDIA_FEATURES_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -63,10 +66,12 @@ def decode_image(payload: bytes) -> dict:
         return _decode_bmp(raw)
     if raw[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(raw)
+    if raw[:2] == b"\xff\xd8":
+        return _decode_jpeg(raw)
     raise NotImplementedError(
-        "real JPEG/GIF pixel decode requires PIL/libjpeg (not in this "
-        "sandbox); BMP and PNG decode are real — use image_dimensions() "
-        "for header-only metadata on JPEG/GIF")
+        "real GIF pixel decode requires PIL (not in this sandbox); BMP, "
+        "PNG and baseline JPEG decode are real — use image_dimensions() "
+        "for header-only metadata on GIF")
 
 
 def _decode_bmp(raw: bytes) -> dict:
@@ -219,6 +224,529 @@ def encode_png(pixels: list) -> bytes:
                                          color, 0, 0, 0))
             + chunk(b"IDAT", zlib.compress(bytes(flat)))
             + chunk(b"IEND", b""))
+
+
+# -- baseline JPEG (ITU-T T.81) ---------------------------------------------
+# Decode: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components, any
+# sampling factors, restart intervals, 0xFF00 byte stuffing. Progressive
+# (SOF2) / arithmetic / 12-bit raise typed NotImplementedError. Encode is
+# the test inverse (4:4:4 or 4:2:0, Annex K tables), so round-trip parity
+# is provable without libjpeg in the sandbox. numpy only for the 8x8
+# DCT/IDCT matrix products (orthonormal basis, f = M^T F M exactly).
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K quantization tables (K.1/K.2) in zigzag order.
+_QT_LUMA = [
+    16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+    103, 99,
+]
+_QT_CHROMA = [
+    17, 18, 18, 24, 21, 24, 47, 26, 26, 47, 99, 66, 56, 66, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K typical Huffman tables (K.3.3): (BITS[1..16], HUFFVAL).
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list, vals: list) -> dict:
+    """T.81 Annex C canonical Huffman codes: {symbol: (code, length)}."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _idct_basis():
+    import math
+    import numpy as np
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = cu / 2 * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    stops (bits exhausted) at any real marker so the caller can handle
+    RSTn / EOI."""
+
+    def __init__(self, raw: bytes, pos: int):
+        self.raw = raw
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker = None  # set when a non-stuffing marker is reached
+
+    def _fill(self) -> bool:
+        raw, pos = self.raw, self.pos
+        if pos >= len(raw):
+            return False
+        b = raw[pos]
+        if b == 0xFF:
+            nxt = raw[pos + 1] if pos + 1 < len(raw) else 0xD9
+            if nxt == 0x00:          # stuffed literal FF
+                self.pos = pos + 2
+            elif nxt == 0xFF:        # fill byte before a marker
+                self.pos = pos + 1
+                return self._fill()
+            else:                    # real marker: stop here
+                self.marker = nxt
+                return False
+        else:
+            self.pos = pos + 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if not self._fill():
+                raise ValueError("JPEG entropy data exhausted mid-symbol")
+        self.nbits -= n
+        out = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+        self.bitbuf &= (1 << self.nbits) - 1
+        return out
+
+    def restart(self) -> None:
+        """Byte-align, consume the expected RSTn marker, reset state."""
+        self.bitbuf = 0
+        self.nbits = 0
+        raw = self.raw
+        if self.marker is None:
+            pos = self.pos
+            while pos + 1 < len(raw) and not (
+                    raw[pos] == 0xFF and raw[pos + 1] != 0x00):
+                pos += 1
+            self.marker = raw[pos + 1] if pos + 1 < len(raw) else None
+            self.pos = pos + 2
+        if self.marker is None or not 0xD0 <= self.marker <= 0xD7:
+            raise ValueError(
+                f"expected JPEG restart marker, got {self.marker!r}")
+        self.marker = None
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(raw: bytes) -> dict:
+    """Baseline JPEG decode (T.81 SOF0): markers → Huffman/DCT entropy
+    decode per MCU → dequantize → IDCT → chroma upsample → YCbCr→RGB.
+    Grayscale (1 component) decodes to mode "L" rows of ints."""
+    import struct
+    import numpy as np
+
+    qt: dict[int, list] = {}
+    huff: dict[tuple, dict] = {}   # (class 0=DC/1=AC, id) -> {(len,code): sym}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = raw[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        seglen = struct.unpack_from(">H", raw, pos + 2)[0]
+        seg = raw[pos + 4:pos + 2 + seglen]
+        if len(seg) < seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential JPEG (SOF0) supported, got "
+                f"SOF marker 0x{marker:02X}")
+        if marker == 0xDB:  # DQT (possibly several tables)
+            at = 0
+            while at < len(seg):
+                pq, tq = seg[at] >> 4, seg[at] & 0x0F
+                at += 1
+                if pq:
+                    qt[tq] = list(struct.unpack_from(">64H", seg, at))
+                    at += 128
+                else:
+                    qt[tq] = list(seg[at:at + 64])
+                    at += 64
+        elif marker == 0xC4:  # DHT
+            at = 0
+            while at < len(seg):
+                tc, th = seg[at] >> 4, seg[at] & 0x0F
+                bits = list(seg[at + 1:at + 17])
+                nvals = sum(bits)
+                vals = list(seg[at + 17:at + 17 + nvals])
+                table = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                at += 17 + nvals
+        elif marker == 0xC0:  # SOF0
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if _prec != 8:
+                raise NotImplementedError(f"{_prec}-bit JPEG not supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            for c in range(ns):
+                cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
+                for comp in frame["comps"]:
+                    if comp["id"] == cs:
+                        comp["td"], comp["ta"] = tds >> 4, tds & 0x0F
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    else:
+        raise ValueError("JPEG SOS marker not found")
+    if frame is None:
+        raise ValueError("JPEG SOF0 frame header not found")
+
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    m = _idct_basis()
+    planes = [np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
+              for c in comps]
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+    deq = [np.array(qt[c["tq"]], dtype=float) for c in comps]
+
+    reader = _BitReader(raw, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                reader.restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_tab = huff.get((0, c.get("td", 0)))
+                ac_tab = huff.get((1, c.get("ta", 0)))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("JPEG missing Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64)
+                        s = _huff_decode(reader, dc_tab)
+                        diff = _extend(reader.read(s), s) if s else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break        # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(reader.read(s), s)
+                            k += 1
+                        blk = np.zeros(64)
+                        blk[_ZIGZAG] = zz * deq[ci]
+                        spatial = m.T @ blk.reshape(8, 8) @ m + 128
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
+            mcu_count += 1
+
+    # Upsample to full resolution (sample replication) and color-convert.
+    full = []
+    for ci, c in enumerate(comps):
+        yy = (np.arange(h) * c["v"]) // vmax
+        xx = (np.arange(w) * c["h"]) // hmax
+        full.append(planes[ci][np.ix_(yy, xx)])
+    if len(comps) == 1:
+        gray = np.clip(np.rint(full[0]), 0, 255).astype(int)
+        return {"width": w, "height": h, "mode": "L",
+                "pixels": [list(map(int, row)) for row in gray]}
+    if len(comps) != 3:
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG (CMYK?) not supported")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    rgb = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0,
+                  255).astype(int)
+    return {"width": w, "height": h, "mode": "RGB",
+            "pixels": [[tuple(map(int, px)) for px in row]
+                       for row in rgb]}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.write(0xFF, 8 - self.n)  # pad with 1-bits (T.81 F.1.2.3)
+
+
+def _quality_scale(table: list, quality: int) -> list:
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (t * scale + 50) // 100)) for t in table]
+
+
+def encode_jpeg(pixels: list, quality: int = 90,
+                subsample: tuple = (1, 1),
+                restart_interval: int = 0) -> bytes:
+    """Inverse of :func:`_decode_jpeg` for tests/tools: top-down RGB rows →
+    baseline JFIF JPEG (Annex K quant/Huffman tables). ``subsample``
+    (1, 1) = 4:4:4, (2, 2) = 4:2:0 (2x2 chroma box average) — the two
+    shapes that exercise the decoder's single- and multi-block MCU paths.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
+    import struct
+    import numpy as np
+
+    hs, vs = subsample
+    if (hs, vs) not in ((1, 1), (2, 2)):
+        raise NotImplementedError("subsample must be (1,1) or (2,2)")
+    height = len(pixels)
+    width = len(pixels[0]) if height else 0
+    arr = np.array(pixels, dtype=float)  # (h, w, 3) RGB or (h, w) gray
+    gray = arr.ndim == 2
+    if gray:
+        y, cb, cr = arr, None, None
+        hs = vs = 1
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    if (hs, vs) == (2, 2):
+        ph = -(-height // 2) * 2
+        pw = -(-width // 2) * 2
+        cbp = np.pad(cb, ((0, ph - height), (0, pw - width)), mode="edge")
+        crp = np.pad(cr, ((0, ph - height), (0, pw - width)), mode="edge")
+        cb = (cbp[0::2, 0::2] + cbp[1::2, 0::2] + cbp[0::2, 1::2]
+              + cbp[1::2, 1::2]) / 4
+        cr = (crp[0::2, 0::2] + crp[1::2, 0::2] + crp[0::2, 1::2]
+              + crp[1::2, 1::2]) / 4
+
+    qluma = _quality_scale(_QT_LUMA, quality)
+    qchroma = _quality_scale(_QT_CHROMA, quality)
+    m = _idct_basis()
+    zz = np.array(_ZIGZAG)
+    dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    def _mag(v: int) -> int:
+        return v.bit_length() if v >= 0 else (-v).bit_length()
+
+    def _block(plane, y0, x0, qtab) -> list:
+        blk = plane[y0:y0 + 8, x0:x0 + 8]
+        f = m @ (blk - 128) @ m.T
+        q = np.rint(f.reshape(64)[zz] / np.array(qtab))
+        return [int(v) for v in q]
+
+    def _emit(writer, coefs, pred, dct, act) -> int:
+        diff = coefs[0] - pred
+        s = _mag(diff)
+        code, ln = dct[s]
+        writer.write(code, ln)
+        if s:
+            writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if coefs[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = coefs[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]
+                writer.write(code, ln)
+                run -= 16
+            s = _mag(v)
+            code, ln = act[(run << 4) | s]
+            writer.write(code, ln)
+            writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = act[0x00]
+            writer.write(code, ln)
+        return coefs[0]
+
+    ncomp = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + bytes((0, 0)))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qluma)
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qchroma)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    sof += bytes((1, (hs << 4) | vs, 0))
+    if not gray:
+        sof += bytes((2, 0x11, 1)) + bytes((3, 0x11, 1))
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc, th, bits, vals):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp, 1, 0x00])
+    if not gray:
+        sos += bytes((2, 0x11, 3, 0x11))
+    out += (b"\xff\xda" + struct.pack(">H", 2 + len(sos) + 3) + sos
+            + bytes((0, 63, 0)))
+
+    writer = _BitWriter()
+    mcus_x = -(-width // (8 * hs))
+    mcus_y = -(-height // (8 * vs))
+    # Pad every plane to its MCU-aligned size with edge replication so a
+    # block read never leaves the array (4:2:0 luma MCUs cover 16x16 and
+    # can lie fully outside a narrow image).
+    def _pad(plane, rows, cols):
+        return np.pad(plane, ((0, rows - plane.shape[0]),
+                              (0, cols - plane.shape[1])), mode="edge")
+
+    y = _pad(y, mcus_y * vs * 8, mcus_x * hs * 8)
+    if not gray:
+        cb = _pad(cb, mcus_y * 8, mcus_x * 8)
+        cr = _pad(cr, mcus_y * 8, mcus_x * 8)
+    pred = [0, 0, 0]
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                writer.flush()
+                out += bytes(writer.out)
+                writer = _BitWriter()
+                out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            for by in range(vs):
+                for bx in range(hs):
+                    coefs = _block(y, (my * vs + by) * 8,
+                                   (mx * hs + bx) * 8, qluma)
+                    pred[0] = _emit(writer, coefs, pred[0], dc_l, ac_l)
+            if not gray:
+                for ci, plane in ((1, cb), (2, cr)):
+                    coefs = _block(plane, my * 8, mx * 8, qchroma)
+                    pred[ci] = _emit(writer, coefs, pred[ci], dc_c, ac_c)
+            mcu_count += 1
+    writer.flush()
+    out += bytes(writer.out)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
 
 
 def image_dimensions(payload: bytes) -> dict:

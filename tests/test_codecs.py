@@ -223,3 +223,85 @@ def test_png_missing_idat_and_bad_ihdr_raise_valueerror():
     short_ihdr = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00" * 5))
     with pytest.raises(ValueError):
         mediaops.decode_image(short_ihdr)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (real decode; encode_jpeg is the test inverse)
+
+
+def _jpeg_gradient(w, h):
+    return [[((y * 9) % 256, (x * 5) % 200 + 20, ((x + y) * 3) % 256)
+             for x in range(w)] for y in range(h)]
+
+
+@pytest.mark.parametrize("subsample,restart", [
+    ((1, 1), 0), ((1, 1), 3), ((2, 2), 0), ((2, 2), 3),
+])
+def test_jpeg_roundtrip_within_quantization_error(subsample, restart):
+    """Encode (DCT+quant+Huffman, Annex K tables) → decode → pixels within
+    quantization error of the original. 4:4:4 exercises the 1-block MCU
+    path, 4:2:0 the 4-luma+2-chroma MCU with chroma upsampling; restart=3
+    exercises DRI/RSTn byte-aligned predictor resets on both."""
+    base = _jpeg_gradient(37, 21)  # non-multiple-of-8 on both axes
+    enc = mediaops.encode_jpeg(base, quality=92, subsample=subsample,
+                               restart_interval=restart)
+    d = mediaops.decode_image(enc)
+    assert (d["width"], d["height"], d["mode"]) == (37, 21, "RGB")
+    worst = max(abs(g - w) for grow, wrow in zip(d["pixels"], base)
+                for gpx, wpx in zip(grow, wrow)
+                for g, w in zip(gpx, wpx))
+    # 4:2:0 averages 2x2 chroma; its bound is looser than 4:4:4's.
+    assert worst <= (3 if subsample == (1, 1) else 10), worst
+    assert mediaops.image_dimensions(enc) == {
+        "format": "jpeg", "width": 37, "height": 21}
+
+
+def test_jpeg_solid_color_roundtrips_exactly():
+    """A flat block is pure DC — quantization cannot move it, so the
+    decode must be bit-exact (any error would be a codec bug, not loss)."""
+    base = [[(200, 64, 32)] * 24 for _ in range(16)]
+    d = mediaops.decode_image(mediaops.encode_jpeg(base, quality=90))
+    assert d["pixels"] == base
+
+
+def test_jpeg_noise_q100_bounded_error():
+    """Random pixels at quality 100 exercise the full AC coefficient range
+    (every run/size Huffman class, ZRL, long magnitudes) with the quant
+    table near 1 — round-trip error stays within rounding (±3)."""
+    import random
+    rnd = random.Random(11)
+    base = [[(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+             for _ in range(16)] for _ in range(16)]
+    d = mediaops.decode_image(mediaops.encode_jpeg(base, quality=100))
+    worst = max(abs(g - w) for grow, wrow in zip(d["pixels"], base)
+                for gpx, wpx in zip(grow, wrow)
+                for g, w in zip(gpx, wpx))
+    assert worst <= 3, worst
+
+
+def test_jpeg_grayscale_single_component():
+    base = [[(y * 11 + x * 3) % 256 for x in range(30)] for y in range(19)]
+    d = mediaops.decode_image(mediaops.encode_jpeg(base, quality=95))
+    assert (d["width"], d["height"], d["mode"]) == (30, 19, "L")
+    worst = max(abs(g - w) for grow, wrow in zip(d["pixels"], base)
+                for g, w in zip(grow, wrow))
+    assert worst <= 8, worst
+
+
+def test_jpeg_progressive_and_12bit_raise_typed():
+    enc = bytearray(mediaops.encode_jpeg(_jpeg_gradient(16, 16)))
+    i = enc.find(b"\xff\xc0")
+    prog = bytearray(enc)
+    prog[i + 1] = 0xC2  # SOF2: progressive
+    with pytest.raises(NotImplementedError):
+        mediaops.decode_image(bytes(prog))
+    deep = bytearray(enc)
+    deep[i + 4] = 12    # precision byte inside SOF0
+    with pytest.raises(NotImplementedError):
+        mediaops.decode_image(bytes(deep))
+
+
+def test_jpeg_truncated_stream_raises_valueerror():
+    enc = mediaops.encode_jpeg(_jpeg_gradient(16, 16))
+    with pytest.raises(ValueError):
+        mediaops.decode_image(enc[:len(enc) // 2])

@@ -43,9 +43,13 @@ def test_feature_extraction_matches_python(media):
 
 def test_real_decoders_are_clearly_stubbed():
     with pytest.raises(NotImplementedError):
-        mediaops.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG pixels need PIL
+        mediaops.decode_image(b"GIF89a\x10\x00\x10\x00")  # GIF needs PIL
     with pytest.raises(NotImplementedError):
         mediaops.sample_video_frames(b"\x00\x00\x00 ftypmp42")
+    # truncated JPEG (headers only, no SOS) is a ValueError, not a stub:
+    # baseline JPEG decode is real (test_codecs.py round-trips it)
+    with pytest.raises(ValueError):
+        mediaops.decode_image(b"\xff\xd8\xff\xe0\x00\x02")
 
 
 def test_null_payload_safe(spark):
