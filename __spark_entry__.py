@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from html_parser_spark.functions import (
     corpusstats, dedup, eventops, mediaops, packing, pii, textops, vecops)
 from html_parser_spark.job import pipeline as P
-from html_parser_spark.sources.media import media_from_documents
+from html_parser_spark.sources.media import (
+    media_from_documents, media_payloads)
 from html_parser_spark.sources import synth as _synth
 from html_parser_spark.sources.synth import PROFILES as _SYNTH_PROFILES
 
@@ -611,6 +612,20 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mediaops.extract_media_features(media_from_documents(docs))
 
 
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip through the engine: generate actual
+    BMP/PNG/baseline-JPEG/PCM-WAV payloads (solid color / constant
+    amplitude, both closed forms of doc_id — sources/media.media_payloads)
+    then DECODE them with the pure-Python codecs (functions/mediaops) and
+    emit dims + channel means + peak/RMS. The DuckDB twin recomputes every
+    stat from doc_id alone, so a broken Huffman table, PNG filter, or WAV
+    framing shows up as a value-hash mismatch — codec correctness is
+    driver-gated, not only pytest-gated. Both stages are map-only
+    mapInPandas: payload bytes never enter an Exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    return mediaops.decode_media_features(media_payloads(docs))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
@@ -672,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         # multimodal plumbing
         "media_features": _q_media_features,
+        "media_decode": _q_media_decode,
     }
 
 
@@ -1695,6 +1711,36 @@ def oracle_sql() -> dict[str, str]:
                               CAST(doc_id % 4 + 1 AS INT))) AS checksum,
                    CAST(16 * (doc_id % 64 + 1) AS INT) AS width,
                    CAST(16 * (doc_id % 48 + 1) AS INT) AS height
+            FROM documents
+        """,
+        "media_decode": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 4 = 3 THEN 'wav'
+                        WHEN doc_id % 3 = 0 THEN 'bmp'
+                        WHEN doc_id % 3 = 1 THEN 'png'
+                        ELSE 'jpeg' END AS fmt,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE CAST(8 * (doc_id % 8 + 1) AS INT)
+                        END AS width,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE CAST(8 * (doc_id % 6 + 1) AS INT)
+                        END AS height,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE CAST((doc_id * 7) % 256 AS DOUBLE)
+                        END AS mean_g,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE CAST((doc_id * 13) % 256 AS DOUBLE)
+                        END AS mean_b,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN CAST(doc_id % 1000 AS INT)
+                        ELSE NULL END AS peak,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN CAST(doc_id % 1000 AS DOUBLE)
+                        ELSE NULL END AS rms,
+                   CASE WHEN doc_id % 4 = 3 THEN 10.0
+                        ELSE NULL END AS duration_ms
             FROM documents
         """,
         "ann_lsh_topk": f"""

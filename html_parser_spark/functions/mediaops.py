@@ -31,10 +31,11 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    IntegerType, LongType, StringType, StructField, StructType,
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
-__all__ = ["MEDIA_FEATURES_SCHEMA", "extract_media_features",
+__all__ = ["MEDIA_FEATURES_SCHEMA", "MEDIA_DECODE_SCHEMA",
+           "extract_media_features", "decode_media_features",
            "decode_image", "encode_bmp", "encode_png", "encode_jpeg",
            "decode_wav", "encode_wav", "image_dimensions",
            "sample_video_frames"]
@@ -867,6 +868,71 @@ def _features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows["header"].append(raw[:8].decode("utf-8", errors="replace"))
             rows["checksum"].append(hashlib.md5(raw).hexdigest())
         yield pd.DataFrame(rows)
+
+
+MEDIA_DECODE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("fmt", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_r", DoubleType()),
+    StructField("mean_g", DoubleType()),
+    StructField("mean_b", DoubleType()),
+    StructField("peak", IntegerType()),
+    StructField("rms", DoubleType()),
+    StructField("duration_ms", DoubleType()),
+])
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+    for b in batches:
+        out = {k.name: [] for k in MEDIA_DECODE_SCHEMA.fields}
+        for mid, p in zip(b["media_id"].tolist(), b["payload"].tolist()):
+            raw = bytes(p) if p is not None else b""
+            out["media_id"].append(int(mid))
+            if raw[:4] == b"RIFF":
+                a = decode_wav(raw)
+                out["fmt"].append("wav")
+                out["width"].append(None)
+                out["height"].append(None)
+                out["mean_r"].append(None)
+                out["mean_g"].append(None)
+                out["mean_b"].append(None)
+                out["peak"].append(a["peak"])
+                out["rms"].append(a["rms"])
+                out["duration_ms"].append(a["duration_ms"])
+                continue
+            img = decode_image(raw)
+            px = np.array(img["pixels"], dtype=float)
+            fmt = ("bmp" if raw[:2] == b"BM"
+                   else "png" if raw[:4] == b"\x89PNG"[:4] else "jpeg")
+            out["fmt"].append(fmt)
+            out["width"].append(img["width"])
+            out["height"].append(img["height"])
+            out["mean_r"].append(float(px[..., 0].mean()))
+            out["mean_g"].append(float(px[..., 1].mean()))
+            out["mean_b"].append(float(px[..., 2].mean()))
+            out["peak"].append(None)
+            out["rms"].append(None)
+            out["duration_ms"].append(None)
+        yield pd.DataFrame(out)
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """REAL media decode over the binary column (map-only, Arrow-batched):
+    sniff the container magic, run the actual codec (BMP / PNG / baseline
+    JPEG pixels, PCM WAV samples) and emit typed decode stats — image
+    dimensions + per-channel means, audio peak/RMS/duration. Unlike
+    :func:`extract_media_features` (byte-level, codec-free), a wrong
+    Huffman table or filter here produces wrong numbers, so the driver's
+    SQL oracle (closed-form content from sources/media.media_payloads)
+    checks the codecs themselves end-to-end through the Spark plan.
+
+    100 TB shape: identical to the features pass — payload bytes never
+    enter an Exchange; the scan is pruned to (media_id, payload)."""
+    return media.select("media_id", "payload").mapInPandas(
+        _decode_batch, MEDIA_DECODE_SCHEMA)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:

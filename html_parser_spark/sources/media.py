@@ -13,9 +13,17 @@ touching the plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from typing import Iterator
 
-__all__ = ["MEDIA_KINDS", "media_from_documents"]
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, LongType, StringType, StructField, StructType,
+)
+
+__all__ = ["MEDIA_KINDS", "media_from_documents", "media_payloads",
+           "PAYLOADS_SCHEMA"]
 
 MEDIA_KINDS = ["image", "audio", "video"]
 
@@ -50,3 +58,62 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         payload.alias("payload"),
         meta.alias("meta"),
     )
+
+
+PAYLOADS_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("fmt", StringType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def _payloads_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from html_parser_spark.functions.mediaops import (
+        encode_bmp, encode_jpeg, encode_png, encode_wav)
+    for b in batches:
+        ids, fmts, payloads = [], [], []
+        for did in b["doc_id"].tolist():
+            did = int(did)
+            ids.append(did)
+            if did % 4 == 3:
+                a = did % 1000
+                fmts.append("wav")
+                payloads.append(encode_wav([a] * 160, sample_rate=16000))
+                continue
+            w = 8 * (did % 8 + 1)
+            h = 8 * (did % 6 + 1)
+            color = (did % 256, (did * 7) % 256, (did * 13) % 256)
+            pixels = [[color] * w for _ in range(h)]
+            f = did % 3
+            if f == 0:
+                fmts.append("bmp")
+                payloads.append(encode_bmp(pixels))
+            elif f == 1:
+                fmts.append("png")
+                payloads.append(encode_png(pixels))
+            else:
+                fmts.append("jpeg")
+                # quality 95 keeps the DC quantization step at 2, so a
+                # solid block's round-trip error is < 0.5 and the decoded
+                # color is bit-exact (test_codecs.py pins the property).
+                payloads.append(encode_jpeg(pixels, quality=95))
+        yield pd.DataFrame({"media_id": ids, "fmt": fmts,
+                            "payload": payloads})
+
+
+def media_payloads(docs: DataFrame) -> DataFrame:
+    """Real-codec media table: one row per document, payload = actual
+    BMP / PNG / baseline-JPEG / PCM-WAV bytes whose CONTENT is a closed
+    form of ``doc_id`` (solid color at 8*(id%8+1) x 8*(id%6+1); constant
+    amplitude id%1000 over 160 frames at 16 kHz) — so a SQL oracle can
+    recompute everything a real decode of the payload must yield. This is
+    the honest upgrade of :func:`media_from_documents`'s md5 fakes: the
+    bytes now must survive an actual codec, not just a checksum.
+
+    Map-only (Arrow-batched mapInPandas over the pruned doc_id column);
+    at 100 TB the generator is replaced by a WARC/object-store scan and
+    the decode side (functions/mediaops.decode_media_features) is
+    unchanged.
+    """
+    return docs.select("doc_id").mapInPandas(
+        _payloads_batch, PAYLOADS_SCHEMA)

@@ -106,3 +106,28 @@ def test_bmp_decode_rejects_other_formats_and_truncation():
     raw = encode_bmp([[(1, 2, 3)] * 4] * 4)
     with pytest.raises(ValueError):
         decode_image(raw[:-8])                        # truncated pixels
+
+
+def test_media_payloads_decode_roundtrip_spark(spark):
+    """Real codecs through the Spark plan: generate actual BMP/PNG/JPEG/WAV
+    payloads from doc_id, decode them in the Arrow kernel, and check every
+    stat against the closed form the DuckDB oracle also uses."""
+    from html_parser_spark.sources.media import media_payloads
+
+    docs = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    rows = {r.media_id: r for r in
+            mediaops.decode_media_features(media_payloads(docs)).collect()}
+    assert len(rows) == 60
+    for did, r in rows.items():
+        if did % 4 == 3:
+            a = did % 1000
+            assert (r.fmt, r.peak, r.rms, r.duration_ms) == \
+                ("wav", a, float(a), 10.0), r
+            assert r.width is None and r.mean_r is None
+        else:
+            assert r.fmt == ["bmp", "png", "jpeg"][did % 3], r
+            assert (r.width, r.height) == \
+                (8 * (did % 8 + 1), 8 * (did % 6 + 1)), r
+            assert (r.mean_r, r.mean_g, r.mean_b) == \
+                (did % 256, (did * 7) % 256, (did * 13) % 256), r
+            assert r.peak is None and r.rms is None

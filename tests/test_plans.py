@@ -363,3 +363,15 @@ def test_quality_tiers_window_is_per_language(spark):
     assert "windowspecdefinition(lang" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_media_decode_is_map_only_and_pruned(spark):
+    """Generate-then-decode real media payloads: both mapInPandas stages
+    must fuse into a shuffle-free plan (payload bytes never enter an
+    Exchange) and the documents scan must read only doc_id — a media
+    decode pass over 100 TB is embarrassingly parallel by construction."""
+    df = E.queries()["media_decode"](spark, SF)
+    plan = A.formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    cols = A.read_schema_columns(df)
+    assert cols == ["doc_id"], cols
