@@ -614,7 +614,7 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round-trip through the engine: generate actual
-    BMP/PNG/baseline-JPEG/PCM-WAV payloads (solid color / constant
+    BMP/PNG/baseline-JPEG/GIF/PCM-WAV payloads (solid color / constant
     amplitude, both closed forms of doc_id — sources/media.media_payloads)
     then DECODE them with the pure-Python codecs (functions/mediaops) and
     emit dims + channel means + peak/RMS. The DuckDB twin recomputes every
@@ -1716,9 +1716,10 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": """
             SELECT doc_id AS media_id,
                    CASE WHEN doc_id % 4 = 3 THEN 'wav'
-                        WHEN doc_id % 3 = 0 THEN 'bmp'
-                        WHEN doc_id % 3 = 1 THEN 'png'
-                        ELSE 'jpeg' END AS fmt,
+                        WHEN (doc_id % 8) // 2 = 0 THEN 'bmp'
+                        WHEN (doc_id % 8) // 2 = 1 THEN 'png'
+                        WHEN (doc_id % 8) // 2 = 2 THEN 'jpeg'
+                        ELSE 'gif' END AS fmt,
                    CASE WHEN doc_id % 4 = 3 THEN NULL
                         ELSE CAST(8 * (doc_id % 8 + 1) AS INT)
                         END AS width,

@@ -11,9 +11,13 @@ codec layer is swappable:
   test actual codecs: uncompressed 24-bit BMP (``_decode_bmp``), 8-bit
   truecolor PNG with all five scanline filters (``_decode_png``, stdlib
   zlib), baseline sequential JPEG (``_decode_jpeg``: Huffman + dequant +
-  IDCT + chroma upsample, with ``encode_jpeg`` as the test inverse), PCM
-  WAV audio (``decode_wav``, stdlib wave), and header-only dimension
-  sniffing for BMP/PNG/GIF/JPEG (``image_dimensions``).
+  IDCT + chroma upsample, with ``encode_jpeg`` as the test inverse),
+  GIF87a/89a (``_decode_gif``: LZW + palettes + interlace, with
+  ``encode_gif`` as the inverse), bilinear/nearest ``resize_image`` over
+  any of the four, PCM WAV audio (``decode_wav``, stdlib wave), and
+  header-only dimension sniffing for BMP/PNG/GIF/JPEG
+  (``image_dimensions``). Only video frame sampling and compressed audio
+  remain stubbed (ffmpeg-class work).
 - ``_decode_fake``: deterministic byte-level features (length, header,
   checksum) — exercised by tests and by the driver's DuckDB oracle, since
   the fake payloads are md5-hex bytes reproducible in SQL.
@@ -37,8 +41,8 @@ from pyspark.sql.types import (
 __all__ = ["MEDIA_FEATURES_SCHEMA", "MEDIA_DECODE_SCHEMA",
            "extract_media_features", "decode_media_features",
            "decode_image", "encode_bmp", "encode_png", "encode_jpeg",
-           "decode_wav", "encode_wav", "image_dimensions",
-           "sample_video_frames"]
+           "encode_gif", "resize_image", "decode_wav", "encode_wav",
+           "image_dimensions", "sample_video_frames"]
 
 MEDIA_FEATURES_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -69,10 +73,11 @@ def decode_image(payload: bytes) -> dict:
         return _decode_png(raw)
     if raw[:2] == b"\xff\xd8":
         return _decode_jpeg(raw)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(raw)
     raise NotImplementedError(
-        "real GIF pixel decode requires PIL (not in this sandbox); BMP, "
-        "PNG and baseline JPEG decode are real — use image_dimensions() "
-        "for header-only metadata on GIF")
+        f"unrecognized image magic {raw[:8]!r} (BMP, PNG, baseline JPEG "
+        f"and GIF decode are real; other formats need PIL)")
 
 
 def _decode_bmp(raw: bytes) -> dict:
@@ -750,6 +755,206 @@ def encode_jpeg(pixels: list, quality: int = 90,
     return bytes(out)
 
 
+# -- GIF (GIF87a/89a, LZW) ----------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code: int, expected: int) -> list:
+    """GIF-variant LZW: LSB-first variable-width codes, CLEAR/EOI, 12-bit
+    dictionary cap. Returns ``expected`` palette indices."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    code_size = min_code + 1
+    table = {i: (i,) for i in range(clear)}
+    next_code = eoi + 1
+    out: list = []
+    prev = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while len(out) < expected:
+        if bitpos + code_size > nbits:
+            raise ValueError("GIF LZW stream exhausted")
+        code = 0
+        for i in range(code_size):
+            code |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += code_size
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            code_size = min_code + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # the KwKwK case
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"invalid GIF LZW code {code}")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("GIF pixel data short")
+    return out[:expected]
+
+
+def _decode_gif(raw: bytes) -> dict:
+    """GIF87a/89a decode (pure stdlib): logical screen + color tables +
+    LZW-compressed first image, including interlaced row order. Animation
+    frames beyond the first are ignored (the first frame is the image a
+    training-data pass wants); transparency is left as the palette color."""
+    import struct
+
+    if len(raw) < 13:
+        raise ValueError("truncated GIF header")
+    flags = raw[10]
+    pos = 13
+    gct = None
+    if flags >> 7:
+        n = 2 ** ((flags & 7) + 1)
+        gct = [tuple(raw[pos + 3 * i:pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while pos < len(raw):
+        block = raw[pos]
+        if block == 0x21:  # extension: label then sub-blocks
+            pos += 2
+            while pos < len(raw) and raw[pos] != 0:
+                pos += raw[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, iw, ih = struct.unpack_from("<HHHH", raw, pos + 1)
+            iflags = raw[pos + 9]
+            pos += 10
+            lct = None
+            if iflags >> 7:
+                n = 2 ** ((iflags & 7) + 1)
+                lct = [tuple(raw[pos + 3 * i:pos + 3 * i + 3])
+                       for i in range(n)]
+                pos += 3 * n
+            interlaced = bool((iflags >> 6) & 1)
+            min_code = raw[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(raw) and raw[pos] != 0:
+                n = raw[pos]
+                data += raw[pos + 1:pos + 1 + n]
+                pos += n + 1
+            pos += 1
+            palette = lct or gct
+            if palette is None:
+                raise ValueError("GIF has no color table")
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            grid = [idx[r * iw:(r + 1) * iw] for r in range(ih)]
+            if interlaced:  # 4-pass row order (GIF89a spec appendix E)
+                order = ([r for r in range(0, ih, 8)]
+                         + [r for r in range(4, ih, 8)]
+                         + [r for r in range(2, ih, 4)]
+                         + [r for r in range(1, ih, 2)])
+                deinter = [None] * ih
+                for src, dst in enumerate(order):
+                    deinter[dst] = grid[src]
+                grid = deinter
+            rows = [[palette[i] for i in rrow] for rrow in grid]
+            return {"width": iw, "height": ih, "mode": "RGB",
+                    "pixels": rows}
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+    raise ValueError("GIF image descriptor not found")
+
+
+def encode_gif(pixels: list) -> bytes:
+    """Inverse of :func:`_decode_gif` for tests/tools: top-down RGB rows
+    (≤256 distinct colors) → non-interlaced GIF89a with a global color
+    table and standard LZW (CLEAR first, width growth, 4096 reset)."""
+    import struct
+
+    height = len(pixels)
+    width = len(pixels[0]) if height else 0
+    palette: dict = {}
+    for row in pixels:
+        for px in row:
+            if px not in palette:
+                palette[px] = len(palette)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <=256 colors, got {len(palette)}")
+    bits = max(2, (len(palette) - 1).bit_length() or 1)
+    size_field = bits - 1
+    table_n = 1 << bits
+    colors = list(palette)
+    colors += [(0, 0, 0)] * (table_n - len(colors))
+
+    min_code = bits
+    clear = 1 << min_code
+    eoi = clear + 1
+
+    out_bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, code_size: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += code_size
+        while nacc >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    code_size = min_code + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, code_size)
+    w = ()
+    for row in pixels:
+        for px in row:
+            k = palette[px]
+            if w + (k,) in table:
+                w = w + (k,)
+                continue
+            emit(table[w], code_size)
+            if next_code < 4096:
+                table[w + (k,)] = next_code
+                next_code += 1
+                # decoder-side adds lag the encoder by ONE (no add on the
+                # first code after CLEAR), so the encoder grows one entry
+                # later than the decoder's next_code == 2^size rule
+                if next_code == (1 << code_size) + 1 and code_size < 12:
+                    code_size += 1
+            else:
+                emit(clear, code_size)
+                table = {(i,): i for i in range(clear)}
+                code_size = min_code + 1
+                next_code = eoi + 1
+            w = (k,)
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nacc:
+        out_bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes((0x80 | (size_field << 4) | size_field, 0, 0))
+    for c in colors:
+        out += bytes(c)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += bytes([min_code])
+    for at in range(0, len(out_bits), 255):
+        chunk = out_bits[at:at + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def image_dimensions(payload: bytes) -> dict:
     """Header-only (width, height, format) — the cheap metadata pass a
     100 TB media table runs before any pixel decode: BMP and PNG read
@@ -845,11 +1050,52 @@ def sample_video_frames(payload: bytes, every_ms: int = 1000) -> "object":
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize — STUB: PIL is not in this container. The Spark-side
-    plumbing (binary in → binary out inside the same mapInPandas batch) is
-    what :func:`extract_media_features` exercises."""
-    raise NotImplementedError(
-        "real image resize requires PIL (not in this sandbox)")
+    """Real image resize, no PIL: decode with the module's own codecs,
+    resample with numpy, re-encode in the SAME container. BMP/PNG/JPEG
+    resample bilinearly (half-pixel-center sampling, the OpenCV/PIL
+    convention); GIF uses nearest-neighbor so the palette is preserved
+    (bilinear would invent colors a 256-entry table can't hold)."""
+    import numpy as np
+
+    img = decode_image(payload)
+    fmt = image_dimensions(payload)["format"]
+    src = np.array(img["pixels"], dtype=float)
+    gray = img["mode"] == "L"
+    sh, sw = src.shape[0], src.shape[1]
+    if fmt == "gif":
+        yy = np.minimum((np.arange(height) * sh) // height, sh - 1)
+        xx = np.minimum((np.arange(width) * sw) // width, sw - 1)
+        out = src[np.ix_(yy, xx)]
+    else:
+        fy = np.clip((np.arange(height) + 0.5) * sh / height - 0.5,
+                     0, sh - 1)
+        fx = np.clip((np.arange(width) + 0.5) * sw / width - 0.5,
+                     0, sw - 1)
+        y0 = np.floor(fy).astype(int)
+        x0 = np.floor(fx).astype(int)
+        y1 = np.minimum(y0 + 1, sh - 1)
+        x1 = np.minimum(x0 + 1, sw - 1)
+        wy = (fy - y0)[:, None]
+        wx = (fx - x0)[None, :]
+        if not gray:
+            wy = wy[..., None]
+            wx = wx[..., None]
+        top = src[np.ix_(y0, x0)] * (1 - wx) + src[np.ix_(y0, x1)] * wx
+        bot = src[np.ix_(y1, x0)] * (1 - wx) + src[np.ix_(y1, x1)] * wx
+        out = top * (1 - wy) + bot * wy
+    out = np.clip(np.rint(out), 0, 255).astype(int)
+    if gray:
+        pixels = [list(map(int, row)) for row in out]
+    else:
+        nch = out.shape[-1]
+        pixels = [[tuple(map(int, px))[:nch] for px in row] for row in out]
+    if fmt == "bmp":
+        return encode_bmp(pixels)
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt == "jpeg":
+        return encode_jpeg(pixels, quality=92)
+    return encode_gif(pixels)
 
 
 def _features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -905,9 +1151,7 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             img = decode_image(raw)
             px = np.array(img["pixels"], dtype=float)
-            fmt = ("bmp" if raw[:2] == b"BM"
-                   else "png" if raw[:4] == b"\x89PNG"[:4] else "jpeg")
-            out["fmt"].append(fmt)
+            out["fmt"].append(image_dimensions(raw)["format"])
             out["width"].append(img["width"])
             out["height"].append(img["height"])
             out["mean_r"].append(float(px[..., 0].mean()))

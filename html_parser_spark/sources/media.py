@@ -69,7 +69,7 @@ PAYLOADS_SCHEMA = StructType([
 
 def _payloads_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from html_parser_spark.functions.mediaops import (
-        encode_bmp, encode_jpeg, encode_png, encode_wav)
+        encode_bmp, encode_gif, encode_jpeg, encode_png, encode_wav)
     for b in batches:
         ids, fmts, payloads = [], [], []
         for did in b["doc_id"].tolist():
@@ -84,26 +84,32 @@ def _payloads_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             h = 8 * (did % 6 + 1)
             color = (did % 256, (did * 7) % 256, (did * 13) % 256)
             pixels = [[color] * w for _ in range(h)]
-            f = did % 3
+            # (did % 8) // 2 rotates all four image codecs across the
+            # image rows (did % 4 == 3 is audio, so did % 3 would skip
+            # a residue class).
+            f = (did % 8) // 2
             if f == 0:
                 fmts.append("bmp")
                 payloads.append(encode_bmp(pixels))
             elif f == 1:
                 fmts.append("png")
                 payloads.append(encode_png(pixels))
-            else:
+            elif f == 2:
                 fmts.append("jpeg")
                 # quality 95 keeps the DC quantization step at 2, so a
                 # solid block's round-trip error is < 0.5 and the decoded
                 # color is bit-exact (test_codecs.py pins the property).
                 payloads.append(encode_jpeg(pixels, quality=95))
+            else:
+                fmts.append("gif")
+                payloads.append(encode_gif(pixels))
         yield pd.DataFrame({"media_id": ids, "fmt": fmts,
                             "payload": payloads})
 
 
 def media_payloads(docs: DataFrame) -> DataFrame:
     """Real-codec media table: one row per document, payload = actual
-    BMP / PNG / baseline-JPEG / PCM-WAV bytes whose CONTENT is a closed
+    BMP / PNG / baseline-JPEG / GIF / PCM-WAV bytes whose CONTENT is a closed
     form of ``doc_id`` (solid color at 8*(id%8+1) x 8*(id%6+1); constant
     amplitude id%1000 over 160 frames at 16 kHz) — so a SQL oracle can
     recompute everything a real decode of the payload must yield. This is

@@ -305,3 +305,101 @@ def test_jpeg_truncated_stream_raises_valueerror():
     enc = mediaops.encode_jpeg(_jpeg_gradient(16, 16))
     with pytest.raises(ValueError):
         mediaops.decode_image(enc[:len(enc) // 2])
+
+
+# ---------------------------------------------------------------------------
+# GIF (real decode; encode_gif is the test inverse)
+
+
+def test_gif_roundtrip_lossless():
+    """GIF is palette + LZW = lossless: decode(encode(x)) == x, including
+    dictionary code-width growth (7 colors) and a full 256-color table."""
+    import random
+    rnd = random.Random(3)
+    pal7 = [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+            for _ in range(7)]
+    img = [[pal7[rnd.randrange(7)] for _ in range(61)] for _ in range(47)]
+    assert mediaops.decode_image(mediaops.encode_gif(img))["pixels"] == img
+    pal256 = [(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)]
+    img = [[pal256[rnd.randrange(256)] for _ in range(96)]
+           for _ in range(64)]
+    enc = mediaops.encode_gif(img)
+    assert mediaops.decode_image(enc)["pixels"] == img
+    assert mediaops.image_dimensions(enc) == {
+        "format": "gif", "width": 96, "height": 64}
+
+
+def test_gif_dictionary_reset_at_4096():
+    """A long constant run overflows the 12-bit LZW dictionary; the
+    encoder must emit CLEAR and both sides must resync."""
+    big = [[(5, 6, 7)] * 400 for _ in range(400)]
+    assert mediaops.decode_image(mediaops.encode_gif(big))["pixels"] == big
+
+
+def test_gif_interlaced_decode():
+    """Flag an encoder output as interlaced after permuting its rows into
+    the 4-pass order — the decoder must de-scramble back to the original."""
+    import random
+    rnd = random.Random(5)
+    pal = [(i * 16 % 256, 0, i * 32 % 256) for i in range(16)]
+    h = 30
+    img = [[pal[rnd.randrange(16)] for _ in range(20)] for _ in range(h)]
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    enc = bytearray(mediaops.encode_gif([img[dst] for dst in order]))
+    idesc = 6 + 7 + 16 * 3  # header + LSD + global color table
+    assert enc[idesc] == 0x2C
+    enc[idesc + 9] |= 0x40  # set the interlace flag
+    assert mediaops.decode_image(bytes(enc))["pixels"] == img
+
+
+def test_gif_rejects_overflow_palette_and_truncation():
+    with pytest.raises(ValueError):
+        mediaops.encode_gif([[(i % 256, i // 256, 0) for i in range(300)]])
+    enc = mediaops.encode_gif([[(1, 2, 3)] * 40] * 40)
+    with pytest.raises(ValueError):
+        mediaops.decode_image(enc[:len(enc) // 2])
+
+
+# ---------------------------------------------------------------------------
+# resize_image (real: own codecs + numpy resample, no PIL)
+
+
+def test_resize_all_formats_same_container():
+    grad = [[((y * 9) % 256, (x * 5) % 200 + 20, ((x + y) * 3) % 256)
+             for x in range(40)] for y in range(24)]
+    for enc_fn, fmt in ((mediaops.encode_bmp, "bmp"),
+                        (mediaops.encode_png, "png"),
+                        (lambda p: mediaops.encode_jpeg(p, 95), "jpeg")):
+        small = mediaops.resize_image(enc_fn(grad), 20, 12)
+        assert mediaops.image_dimensions(small) == {
+            "format": fmt, "width": 20, "height": 12}
+        # down-then-up: bilinear content survives within a small mean error
+        back = mediaops.decode_image(
+            mediaops.resize_image(small, 40, 24))["pixels"]
+        tot = n = 0
+        for grow, wrow in zip(back, grad):
+            for gpx, wpx in zip(grow, wrow):
+                for g, w in zip(gpx, wpx):
+                    tot += abs(g - w)
+                    n += 1
+        assert tot / n < 6, tot / n
+
+
+def test_resize_gif_preserves_palette():
+    """GIF resamples nearest-neighbor: no invented colors, output palette
+    is a subset of the input's."""
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    img = [[pal[(x // 5 + y // 5) % 3] for x in range(30)]
+           for y in range(18)]
+    small = mediaops.decode_image(
+        mediaops.resize_image(mediaops.encode_gif(img), 10, 6))
+    assert (small["width"], small["height"]) == (10, 6)
+    assert {px for row in small["pixels"] for px in row} <= set(pal)
+
+
+def test_resize_grayscale_jpeg_stays_grayscale():
+    g = [[(y * 7 + x * 3) % 256 for x in range(32)] for y in range(20)]
+    small = mediaops.resize_image(mediaops.encode_jpeg(g, quality=95),
+                                  16, 10)
+    assert mediaops.decode_image(small)["mode"] == "L"

@@ -42,12 +42,14 @@ def test_feature_extraction_matches_python(media):
 
 
 def test_real_decoders_are_clearly_stubbed():
-    with pytest.raises(NotImplementedError):
-        mediaops.decode_image(b"GIF89a\x10\x00\x10\x00")  # GIF needs PIL
+    # the one remaining honest stub: video frame sampling needs ffmpeg
     with pytest.raises(NotImplementedError):
         mediaops.sample_video_frames(b"\x00\x00\x00 ftypmp42")
+    # unknown container magic is a typed refusal, never a silent decode
+    with pytest.raises(NotImplementedError):
+        mediaops.decode_image(b"RIFF....WEBPVP8 ")
     # truncated JPEG (headers only, no SOS) is a ValueError, not a stub:
-    # baseline JPEG decode is real (test_codecs.py round-trips it)
+    # all four image decodes are real (test_codecs.py round-trips them)
     with pytest.raises(ValueError):
         mediaops.decode_image(b"\xff\xd8\xff\xe0\x00\x02")
 
@@ -125,7 +127,7 @@ def test_media_payloads_decode_roundtrip_spark(spark):
                 ("wav", a, float(a), 10.0), r
             assert r.width is None and r.mean_r is None
         else:
-            assert r.fmt == ["bmp", "png", "jpeg"][did % 3], r
+            assert r.fmt == ["bmp", "png", "jpeg", "gif"][(did % 8) // 2], r
             assert (r.width, r.height) == \
                 (8 * (did % 8 + 1), 8 * (did % 6 + 1)), r
             assert (r.mean_r, r.mean_g, r.mean_b) == \
