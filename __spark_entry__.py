@@ -626,6 +626,18 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mediaops.decode_media_features(media_payloads(docs))
 
 
+def _q_media_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_image driver-gated: thumbnail every image payload to 8x8 in
+    its own container (decode → numpy resample → re-encode → decode) and
+    emit the thumbnail's dims + channel means. A solid image resizes to
+    exactly itself in every codec (bilinear of a constant is the constant;
+    JPEG's DC-only round-trip error < 0.5 at the re-encode quality), so
+    the DuckDB twin knows every value in closed form; a resampling or
+    re-encode bug breaks the hash. Map-only, like the other media passes."""
+    docs = _t(spark, sf_dir, "documents")
+    return mediaops.thumbnail_features(media_payloads(docs))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
@@ -688,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
+        "media_thumbs": _q_media_thumbs,
     }
 
 
@@ -1743,6 +1756,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 4 = 3 THEN 10.0
                         ELSE NULL END AS duration_ms
             FROM documents
+        """,
+        "media_thumbs": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN (doc_id % 8) // 2 = 0 THEN 'bmp'
+                        WHEN (doc_id % 8) // 2 = 1 THEN 'png'
+                        WHEN (doc_id % 8) // 2 = 2 THEN 'jpeg'
+                        ELSE 'gif' END AS fmt,
+                   CAST(8 AS INT) AS width,
+                   CAST(8 AS INT) AS height,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+                   CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+                   CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+            FROM documents
+            WHERE doc_id % 4 <> 3
         """,
         "ann_lsh_topk": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["MEDIA_FEATURES_SCHEMA", "MEDIA_DECODE_SCHEMA",
+           "THUMBNAIL_SCHEMA", "thumbnail_features",
            "extract_media_features", "decode_media_features",
            "decode_image", "encode_bmp", "encode_png", "encode_jpeg",
            "encode_gif", "resize_image", "decode_wav", "encode_wav",
@@ -1177,6 +1178,52 @@ def decode_media_features(media: DataFrame) -> DataFrame:
     enter an Exchange; the scan is pruned to (media_id, payload)."""
     return media.select("media_id", "payload").mapInPandas(
         _decode_batch, MEDIA_DECODE_SCHEMA)
+
+
+THUMBNAIL_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("fmt", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_r", DoubleType()),
+    StructField("mean_g", DoubleType()),
+    StructField("mean_b", DoubleType()),
+])
+
+
+def thumbnail_features(media: DataFrame, width: int = 8,
+                       height: int = 8) -> DataFrame:
+    """Thumbnail pass over image payloads (map-only, Arrow-batched):
+    ``resize_image`` each binary to width x height IN ITS OWN CONTAINER
+    (decode → numpy resample → re-encode), then decode the thumbnail and
+    emit its dims + channel means — the decode→resize→encode→decode chain
+    a vision-training prep job runs, with every codec on both sides of
+    the resize. Rows whose payload is not an image are dropped."""
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for b in batches:
+            out = {k.name: [] for k in THUMBNAIL_SCHEMA.fields}
+            for mid, p in zip(b["media_id"].tolist(),
+                              b["payload"].tolist()):
+                raw = bytes(p) if p is not None else b""
+                try:
+                    fmt = image_dimensions(raw)["format"]
+                except (NotImplementedError, ValueError):
+                    continue  # audio/video rows: not an image
+                thumb = resize_image(raw, width, height)
+                img = decode_image(thumb)
+                px = np.array(img["pixels"], dtype=float)
+                out["media_id"].append(int(mid))
+                out["fmt"].append(fmt)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["mean_r"].append(float(px[..., 0].mean()))
+                out["mean_g"].append(float(px[..., 1].mean()))
+                out["mean_b"].append(float(px[..., 2].mean()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batch, THUMBNAIL_SCHEMA)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:

@@ -1,6 +1,7 @@
 """Multimodal plumbing tests: binary payload columns ride Arrow batches
-through a Pandas UDF; real codecs are stubbed (not in this container) but
-the schema / batch shape / deterministic features are exercised for real."""
+through a Pandas UDF. BMP/PNG/baseline-JPEG/GIF/PCM-WAV codecs and the
+resize are real (pure Python + numpy, see test_codecs.py); only video
+frame sampling remains stubbed (needs ffmpeg)."""
 
 from __future__ import annotations
 
@@ -133,3 +134,19 @@ def test_media_payloads_decode_roundtrip_spark(spark):
             assert (r.mean_r, r.mean_g, r.mean_b) == \
                 (did % 256, (did * 7) % 256, (did * 13) % 256), r
             assert r.peak is None and r.rms is None
+
+
+def test_thumbnail_features_solid_exact(spark):
+    """Thumbnailing a solid image yields the same solid at 8x8 in every
+    codec; audio rows are dropped by the image sniff."""
+    from html_parser_spark.sources.media import media_payloads
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    rows = {r.media_id: r for r in
+            mediaops.thumbnail_features(media_payloads(docs)).collect()}
+    assert set(rows) == {i for i in range(40) if i % 4 != 3}
+    for did, r in rows.items():
+        assert (r.width, r.height) == (8, 8), r
+        assert r.fmt == ["bmp", "png", "jpeg", "gif"][(did % 8) // 2], r
+        assert (r.mean_r, r.mean_g, r.mean_b) == \
+            (did % 256, (did * 7) % 256, (did * 13) % 256), r

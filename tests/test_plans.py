@@ -375,3 +375,12 @@ def test_media_decode_is_map_only_and_pruned(spark):
     assert "Exchange" not in plan, plan
     cols = A.read_schema_columns(df)
     assert cols == ["doc_id"], cols
+
+
+def test_media_thumbs_is_map_only(spark):
+    """Thumbnail pass (decode → resize → re-encode → decode): same
+    shuffle-free shape as media_decode — payloads never cross an
+    Exchange."""
+    df = E.queries()["media_thumbs"](spark, SF)
+    plan = A.formatted_plan(df)
+    assert "Exchange" not in plan, plan
