@@ -1728,6 +1728,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_decode": """
             SELECT doc_id AS media_id,
+                   'ok' AS status,
                    CASE WHEN doc_id % 4 = 3 THEN 'wav'
                         WHEN (doc_id % 8) // 2 = 0 THEN 'bmp'
                         WHEN (doc_id % 8) // 2 = 1 THEN 'png'
@@ -1759,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_thumbs": """
             SELECT doc_id AS media_id,
+                   'ok' AS status,
                    CASE WHEN (doc_id % 8) // 2 = 0 THEN 'bmp'
                         WHEN (doc_id % 8) // 2 = 1 THEN 'png'
                         WHEN (doc_id % 8) // 2 = 2 THEN 'jpeg'

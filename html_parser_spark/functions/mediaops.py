@@ -1119,6 +1119,7 @@ def _features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 MEDIA_DECODE_SCHEMA = StructType([
     StructField("media_id", LongType()),
+    StructField("status", StringType()),
     StructField("fmt", StringType()),
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
@@ -1130,6 +1131,9 @@ MEDIA_DECODE_SCHEMA = StructType([
     StructField("duration_ms", DoubleType()),
 ])
 
+_DECODE_NULLS = ["fmt", "width", "height", "mean_r", "mean_g", "mean_b",
+                 "peak", "rms", "duration_ms"]
+
 
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
@@ -1138,29 +1142,34 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for mid, p in zip(b["media_id"].tolist(), b["payload"].tolist()):
             raw = bytes(p) if p is not None else b""
             out["media_id"].append(int(mid))
-            if raw[:4] == b"RIFF":
-                a = decode_wav(raw)
-                out["fmt"].append("wav")
-                out["width"].append(None)
-                out["height"].append(None)
-                out["mean_r"].append(None)
-                out["mean_g"].append(None)
-                out["mean_b"].append(None)
-                out["peak"].append(a["peak"])
-                out["rms"].append(a["rms"])
-                out["duration_ms"].append(a["duration_ms"])
-                continue
-            img = decode_image(raw)
-            px = np.array(img["pixels"], dtype=float)
-            out["fmt"].append(image_dimensions(raw)["format"])
-            out["width"].append(img["width"])
-            out["height"].append(img["height"])
-            out["mean_r"].append(float(px[..., 0].mean()))
-            out["mean_g"].append(float(px[..., 1].mean()))
-            out["mean_b"].append(float(px[..., 2].mean()))
-            out["peak"].append(None)
-            out["rms"].append(None)
-            out["duration_ms"].append(None)
+            # Error tolerance is the same contract as extract_pages: one
+            # corrupt payload in 10^12 rows must yield a status row, never
+            # a failed job. NotImplementedError (unknown/unsupported
+            # codec) and ValueError (malformed bytes) both degrade.
+            try:
+                if raw[:4] == b"RIFF":
+                    a = decode_wav(raw)
+                    vals = {"fmt": "wav", "width": None, "height": None,
+                            "mean_r": None, "mean_g": None, "mean_b": None,
+                            "peak": a["peak"], "rms": a["rms"],
+                            "duration_ms": a["duration_ms"]}
+                else:
+                    img = decode_image(raw)
+                    fmt = image_dimensions(raw)["format"]
+                    px = np.array(img["pixels"], dtype=float)
+                    vals = {"fmt": fmt, "width": img["width"],
+                            "height": img["height"],
+                            "mean_r": float(px[..., 0].mean()),
+                            "mean_g": float(px[..., 1].mean()),
+                            "mean_b": float(px[..., 2].mean()),
+                            "peak": None, "rms": None, "duration_ms": None}
+                out["status"].append("ok")
+                for k in _DECODE_NULLS:
+                    out[k].append(vals[k])
+            except Exception as e:  # noqa: BLE001 — never-fail contract
+                out["status"].append(f"error:{type(e).__name__}")
+                for k in _DECODE_NULLS:
+                    out[k].append(None)
         yield pd.DataFrame(out)
 
 
@@ -1182,6 +1191,7 @@ def decode_media_features(media: DataFrame) -> DataFrame:
 
 THUMBNAIL_SCHEMA = StructType([
     StructField("media_id", LongType()),
+    StructField("status", StringType()),
     StructField("fmt", StringType()),
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
@@ -1198,7 +1208,9 @@ def thumbnail_features(media: DataFrame, width: int = 8,
     (decode → numpy resample → re-encode), then decode the thumbnail and
     emit its dims + channel means — the decode→resize→encode→decode chain
     a vision-training prep job runs, with every codec on both sides of
-    the resize. Rows whose payload is not an image are dropped."""
+    the resize. Rows whose payload has no image magic are dropped (audio/
+    video); rows whose image BODY fails to decode or re-encode degrade to
+    status='error:<type>' — never a failed job."""
     def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         for b in batches:
@@ -1210,16 +1222,24 @@ def thumbnail_features(media: DataFrame, width: int = 8,
                     fmt = image_dimensions(raw)["format"]
                 except (NotImplementedError, ValueError):
                     continue  # audio/video rows: not an image
-                thumb = resize_image(raw, width, height)
-                img = decode_image(thumb)
-                px = np.array(img["pixels"], dtype=float)
+                try:
+                    thumb = resize_image(raw, width, height)
+                    img = decode_image(thumb)
+                    px = np.array(img["pixels"], dtype=float)
+                    vals = {"fmt": fmt, "width": img["width"],
+                            "height": img["height"],
+                            "mean_r": float(px[..., 0].mean()),
+                            "mean_g": float(px[..., 1].mean()),
+                            "mean_b": float(px[..., 2].mean())}
+                    status = "ok"
+                except Exception as e:  # noqa: BLE001 — never-fail
+                    vals = {k.name: None for k in THUMBNAIL_SCHEMA.fields
+                            if k.name not in ("media_id", "status")}
+                    status = f"error:{type(e).__name__}"
                 out["media_id"].append(int(mid))
-                out["fmt"].append(fmt)
-                out["width"].append(img["width"])
-                out["height"].append(img["height"])
-                out["mean_r"].append(float(px[..., 0].mean()))
-                out["mean_g"].append(float(px[..., 1].mean()))
-                out["mean_b"].append(float(px[..., 2].mean()))
+                out["status"].append(status)
+                for k, v in vals.items():
+                    out[k].append(v)
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(

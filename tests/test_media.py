@@ -150,3 +150,41 @@ def test_thumbnail_features_solid_exact(spark):
         assert r.fmt == ["bmp", "png", "jpeg", "gif"][(did % 8) // 2], r
         assert (r.mean_r, r.mean_g, r.mean_b) == \
             (did % 256, (did * 7) % 256, (did * 13) % 256), r
+
+
+def test_media_decode_error_tolerance(spark):
+    """One corrupt payload in 10^12 rows must degrade to a status row,
+    never fail the job — the extract_pages contract, media edition."""
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+    schema = StructType([StructField("media_id", LongType()),
+                         StructField("payload", BinaryType())])
+    good_png = mediaops.encode_png([[(9, 8, 7)] * 8] * 8)
+    junk = [
+        (1, b""),                                   # empty
+        (2, b"\x89PNG\r\n\x1a\n" + b"\xff" * 40),   # corrupt PNG body
+        (3, b"\xff\xd8\xff\xe0\x00\x10JFIFjunk"),   # truncated JPEG
+        (4, b"GIF89a\x04\x00\x04\x00\x00\x00\x00"), # GIF, no color table
+        (5, b"RIFFxxxxWAVEfmt corrupt"),            # corrupt WAV
+        (6, b"\x00" * 100),                         # unknown magic
+        (7, None),                                  # NULL payload
+        (8, good_png),                              # control: decodes
+    ]
+    df = spark.createDataFrame(junk, schema)
+    rows = {r.media_id: r for r in
+            mediaops.decode_media_features(df).collect()}
+    assert len(rows) == 8
+    for i in range(1, 8):
+        assert rows[i].status.startswith("error:"), (i, rows[i])
+        assert rows[i].mean_r is None
+    assert rows[8].status == "ok" and rows[8].mean_r == 9.0
+
+    thumbs = {r.media_id: r for r in
+              mediaops.thumbnail_features(df).collect()}
+    # payloads whose dims can't even be sniffed (incl. the headerless
+    # JPEG) are dropped as non-images; sniffable images with corrupt
+    # BODIES degrade to error rows; the control thumbnails cleanly
+    assert set(thumbs) == {2, 4, 8}
+    for i in (2, 4):
+        assert thumbs[i].status.startswith("error:"), thumbs[i]
+    assert thumbs[8].status == "ok" and thumbs[8].width == 8
