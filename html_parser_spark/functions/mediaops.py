@@ -67,6 +67,21 @@ def decode_image(payload: bytes) -> dict:
     Returns {"width", "height", "mode": "RGB", "pixels"} with pixels as a
     top-down list of rows of (r, g, b) tuples.
     """
+    d = _decode_image_array(payload)
+    arr = d.pop("array")
+    if d["mode"] == "L":
+        d["pixels"] = arr.tolist()
+    else:
+        d["pixels"] = [[tuple(px) for px in row] for row in arr.tolist()]
+    return d
+
+
+def _decode_image_array(payload: bytes) -> dict:
+    """Array-native decode: the four codecs all produce an int numpy array
+    (h, w[, channels]) — the shape the hot kernels (feature stats, resize)
+    consume directly, so pixel data never round-trips through nested
+    Python tuples on the Spark path. ``decode_image`` converts to the
+    public nested-list contract at the edge."""
     raw = bytes(payload)
     if raw[:2] == b"BM":
         return _decode_bmp(raw)
@@ -100,15 +115,15 @@ def _decode_bmp(raw: bytes) -> dict:
     row_size = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
     if data_off + row_size * height > len(raw):
         raise ValueError("truncated BMP pixel data")
-    rows = []
-    for r in range(height):
-        src = r if top_down else height - 1 - r
-        base = data_off + src * row_size
-        row = [(raw[base + 3 * c + 2], raw[base + 3 * c + 1],
-                raw[base + 3 * c]) for c in range(width)]  # BGR -> RGB
-        rows.append(row)
+    import numpy as np
+    grid = (np.frombuffer(raw, np.uint8, count=row_size * height,
+                          offset=data_off)
+            .reshape(height, row_size)[:, :width * 3]
+            .reshape(height, width, 3)[..., ::-1])  # BGR -> RGB
+    if not top_down:
+        grid = grid[::-1]
     return {"width": width, "height": height, "mode": "RGB",
-            "pixels": rows}
+            "array": grid.astype(np.int64)}
 
 
 def encode_bmp(pixels: list) -> bytes:
@@ -200,10 +215,13 @@ def _decode_png(raw: bytes) -> dict:
                 line[i] = (line[i] + pr) & 0xFF
         elif ftype != 0:
             raise ValueError(f"invalid PNG filter type {ftype}")
-        rows.append([tuple(line[i:i + bpp]) for i in range(0, stride, bpp)])
+        rows.append(bytes(line))
         prev = line
+    import numpy as np
+    grid = (np.frombuffer(b"".join(rows), np.uint8)
+            .reshape(height, width, bpp).astype(np.int64))
     return {"width": width, "height": height,
-            "mode": "RGB" if color == 2 else "RGBA", "pixels": rows}
+            "mode": "RGB" if color == 2 else "RGBA", "array": grid}
 
 
 def encode_png(pixels: list) -> bytes:
@@ -524,6 +542,7 @@ def _decode_jpeg(raw: bytes) -> dict:
                         pred[ci] += diff
                         zz[0] = pred[ci]
                         k = 1
+                        nz = 0
                         while k < 64:
                             rs = _huff_decode(reader, ac_tab)
                             r, s = rs >> 4, rs & 0x0F
@@ -536,12 +555,20 @@ def _decode_jpeg(raw: bytes) -> dict:
                             if k > 63:
                                 raise ValueError("JPEG AC index overflow")
                             zz[k] = _extend(reader.read(s), s)
+                            nz += 1
                             k += 1
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        if nz == 0:
+                            # DC-only block: the IDCT of a lone DC term is
+                            # a constant fill — skip both matmuls. Real
+                            # photos hit this on flat regions constantly.
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = (
+                                pred[ci] * deq[ci][0] / 8 + 128)
+                            continue
                         blk = np.zeros(64)
                         blk[_ZIGZAG] = zz * deq[ci]
                         spatial = m.T @ blk.reshape(8, 8) @ m + 128
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
             mcu_count += 1
 
@@ -552,9 +579,8 @@ def _decode_jpeg(raw: bytes) -> dict:
         xx = (np.arange(w) * c["h"]) // hmax
         full.append(planes[ci][np.ix_(yy, xx)])
     if len(comps) == 1:
-        gray = np.clip(np.rint(full[0]), 0, 255).astype(int)
-        return {"width": w, "height": h, "mode": "L",
-                "pixels": [list(map(int, row)) for row in gray]}
+        gray = np.clip(np.rint(full[0]), 0, 255).astype(np.int64)
+        return {"width": w, "height": h, "mode": "L", "array": gray}
     if len(comps) != 3:
         raise NotImplementedError(
             f"{len(comps)}-component JPEG (CMYK?) not supported")
@@ -563,10 +589,8 @@ def _decode_jpeg(raw: bytes) -> dict:
     g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
     b = y + 1.772 * (cb - 128)
     rgb = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0,
-                  255).astype(int)
-    return {"width": w, "height": h, "mode": "RGB",
-            "pixels": [[tuple(map(int, px)) for px in row]
-                       for row in rgb]}
+                  255).astype(np.int64)
+    return {"width": w, "height": h, "mode": "RGB", "array": rgb}
 
 
 class _BitWriter:
@@ -851,20 +875,20 @@ def _decode_gif(raw: bytes) -> dict:
             palette = lct or gct
             if palette is None:
                 raise ValueError("GIF has no color table")
-            idx = _lzw_decode(bytes(data), min_code, iw * ih)
-            grid = [idx[r * iw:(r + 1) * iw] for r in range(ih)]
+            import numpy as np
+            idx = np.array(_lzw_decode(bytes(data), min_code, iw * ih),
+                           dtype=np.intp).reshape(ih, iw)
             if interlaced:  # 4-pass row order (GIF89a spec appendix E)
                 order = ([r for r in range(0, ih, 8)]
                          + [r for r in range(4, ih, 8)]
                          + [r for r in range(2, ih, 4)]
                          + [r for r in range(1, ih, 2)])
-                deinter = [None] * ih
-                for src, dst in enumerate(order):
-                    deinter[dst] = grid[src]
-                grid = deinter
-            rows = [[palette[i] for i in rrow] for rrow in grid]
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            grid = np.array(palette, dtype=np.int64)[idx]
             return {"width": iw, "height": ih, "mode": "RGB",
-                    "pixels": rows}
+                    "array": grid}
         elif block == 0x3B:
             break
         else:
@@ -1058,9 +1082,9 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     (bilinear would invent colors a 256-entry table can't hold)."""
     import numpy as np
 
-    img = decode_image(payload)
+    img = _decode_image_array(payload)
     fmt = image_dimensions(payload)["format"]
-    src = np.array(img["pixels"], dtype=float)
+    src = img["array"].astype(float)
     gray = img["mode"] == "L"
     sh, sw = src.shape[0], src.shape[1]
     if fmt == "gif":
@@ -1154,9 +1178,9 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             "peak": a["peak"], "rms": a["rms"],
                             "duration_ms": a["duration_ms"]}
                 else:
-                    img = decode_image(raw)
+                    img = _decode_image_array(raw)
                     fmt = image_dimensions(raw)["format"]
-                    px = np.array(img["pixels"], dtype=float)
+                    px = img["array"]
                     vals = {"fmt": fmt, "width": img["width"],
                             "height": img["height"],
                             "mean_r": float(px[..., 0].mean()),
@@ -1224,8 +1248,8 @@ def thumbnail_features(media: DataFrame, width: int = 8,
                     continue  # audio/video rows: not an image
                 try:
                     thumb = resize_image(raw, width, height)
-                    img = decode_image(thumb)
-                    px = np.array(img["pixels"], dtype=float)
+                    img = _decode_image_array(thumb)
+                    px = img["array"]
                     vals = {"fmt": fmt, "width": img["width"],
                             "height": img["height"],
                             "mean_r": float(px[..., 0].mean()),
