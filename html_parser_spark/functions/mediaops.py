@@ -324,6 +324,21 @@ _AC_CHROMA_VALS = [
 ]
 
 
+_STD_CODE_TABLES: list = []
+
+
+def _std_code_tables() -> tuple:
+    """Canonical code maps for the four static Annex K tables, built once
+    (they were ~0.04 s per 2000-image batch rebuilt per encode call)."""
+    if not _STD_CODE_TABLES:
+        _STD_CODE_TABLES.append((
+            _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+            _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+            _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)))
+    return _STD_CODE_TABLES[0]
+
+
 def _canonical_codes(bits: list, vals: list) -> dict:
     """T.81 Annex C canonical Huffman codes: {symbol: (code, length)}."""
     codes, code, k = {}, 0, 0
@@ -659,21 +674,27 @@ def encode_jpeg(pixels: list, quality: int = 90,
 
     qluma = _quality_scale(_QT_LUMA, quality)
     qchroma = _quality_scale(_QT_CHROMA, quality)
+    qluma_arr = np.array(qluma, dtype=float)
+    qchroma_arr = np.array(qchroma, dtype=float)
     m = _idct_basis()
     zz = np.array(_ZIGZAG)
-    dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
-    ac_l = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
-    dc_c = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    ac_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    dc_l, ac_l, dc_c, ac_c = _std_code_tables()
 
     def _mag(v: int) -> int:
         return v.bit_length() if v >= 0 else (-v).bit_length()
 
-    def _block(plane, y0, x0, qtab) -> list:
-        blk = plane[y0:y0 + 8, x0:x0 + 8]
-        f = m @ (blk - 128) @ m.T
-        q = np.rint(f.reshape(64)[zz] / np.array(qtab))
-        return [int(v) for v in q]
+    def _plane_coefs(plane, qtab):
+        """All quantized zigzag coefficient blocks of a (padded) plane in
+        one shot: reshape into 8x8 tiles, one einsum for every tile's
+        2-D DCT, quantize, zigzag-gather — the per-block Python work left
+        in the MCU loop is then only Huffman emission."""
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        tiles = (plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+                 - 128.0)
+        f = m @ tiles @ m.T  # broadcast 2-D DCT over all (bh, bw) tiles
+        q = np.rint(f.reshape(bh, bw, 64)[:, :, zz]
+                    / qtab).astype(np.int64)
+        return q
 
     def _emit(writer, coefs, pred, dct, act) -> int:
         diff = coefs[0] - pred
@@ -748,9 +769,12 @@ def encode_jpeg(pixels: list, quality: int = 90,
                               (0, cols - plane.shape[1])), mode="edge")
 
     y = _pad(y, mcus_y * vs * 8, mcus_x * hs * 8)
+    ycoefs = _plane_coefs(y, qluma_arr)
     if not gray:
         cb = _pad(cb, mcus_y * 8, mcus_x * 8)
         cr = _pad(cr, mcus_y * 8, mcus_x * 8)
+        ccoefs = [_plane_coefs(cb, qchroma_arr),
+                  _plane_coefs(cr, qchroma_arr)]
     pred = [0, 0, 0]
     mcu_count = 0
     rst = 0
@@ -766,12 +790,11 @@ def encode_jpeg(pixels: list, quality: int = 90,
                 pred = [0, 0, 0]
             for by in range(vs):
                 for bx in range(hs):
-                    coefs = _block(y, (my * vs + by) * 8,
-                                   (mx * hs + bx) * 8, qluma)
+                    coefs = ycoefs[my * vs + by, mx * hs + bx].tolist()
                     pred[0] = _emit(writer, coefs, pred[0], dc_l, ac_l)
             if not gray:
-                for ci, plane in ((1, cb), (2, cr)):
-                    coefs = _block(plane, my * 8, mx * 8, qchroma)
+                for ci in (1, 2):
+                    coefs = ccoefs[ci - 1][my, mx].tolist()
                     pred[ci] = _emit(writer, coefs, pred[ci], dc_c, ac_c)
             mcu_count += 1
     writer.flush()
