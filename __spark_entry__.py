@@ -551,12 +551,12 @@ def _q_extract_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(cf, "doc_key", "left_semi"))
     # Attach catalog text once, then materialize: the one boundary every
     # downstream branch shares (see docstring for why persist, not
-    # ReuseExchange).
-    from pyspark import StorageLevel
-    ptext = (kept
-             .join(docs.select(F.col("doc_id").alias("doc_key"), "text"),
-                   "doc_key")
-             .persist(StorageLevel.MEMORY_AND_DISK))
+    # ReuseExchange). swap_persist bounds it to one live copy per process.
+    from html_parser_spark.functions.cacheutil import swap_persist
+    ptext = swap_persist(
+        "entry.extract_to_shards.ptext",
+        kept.join(docs.select(F.col("doc_id").alias("doc_key"), "text"),
+                  "doc_key"))
     # Exact page dedup: min page per content hash (4 pages share each
     # document's text, so this collapses the corpus ~4×).
     ded = (ptext.groupBy(F.md5(F.encode("text", "utf-8")).alias("h"))

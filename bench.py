@@ -343,6 +343,8 @@ def main() -> None:
         if (abs(control_ratio - 1.0) <= 0.2
                 and abs(control8_ratio - 1.0) <= 0.3):
             break
+        if attempt == 4:
+            break  # out of retries: keep the flagged reading, no sleep
         print(f"bench: controls out of band (1T {control_ratio}, "
               f"8P {control8_ratio}), retry {attempt + 1}/4 in 20 s",
               file=sys.stderr)

@@ -1,0 +1,37 @@
+"""Bounded persist registry for operator-internal cache boundaries.
+
+Operators like ``dedup.simhash_pairs`` persist an internal table that
+several downstream branches of the SAME returned plan consume (the
+Manku-style fingerprint shard) — but the handle is internal, so a caller
+can never unpersist it, and repeated calls (one warm + N timed bench
+passes, or a long-lived driver) would accumulate cached copies for the
+application lifetime.
+
+``swap_persist`` keeps at most ONE live cached DataFrame per key: each
+call unpersists the previous call's table (non-blocking) before
+persisting the new one. Unpersisting an earlier result a caller still
+holds is safe — persist is an optimization, not a correctness boundary;
+a late consumer simply recomputes its lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["swap_persist"]
+
+_LIVE: dict = {}
+
+
+def swap_persist(key: str, df: DataFrame, storage_level=None) -> DataFrame:
+    from pyspark import StorageLevel
+
+    prev = _LIVE.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # session gone / already unpersisted — harmless
+            pass
+    out = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    _LIVE[key] = out
+    return out

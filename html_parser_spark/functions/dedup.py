@@ -281,9 +281,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     # each pruning different columns, so without a boundary the
     # tokenize-and-vote lineage re-runs per branch (~6 scans measured).
     # 16 bytes/row — a billion-doc corpus is ~16 GB cluster-wide.
-    from pyspark import StorageLevel
-    sig_tbl = (simhash64_table(docs, id_col, text_col)  # (doc_id, sig)
-               .persist(StorageLevel.MEMORY_AND_DISK))
+    # swap_persist bounds the registry to ONE live copy across calls
+    # (a bench or long-lived driver would otherwise accumulate them).
+    from html_parser_spark.functions.cacheutil import swap_persist
+    sig_tbl = swap_persist("dedup.simhash_pairs.sig_tbl",
+                           simhash64_table(docs, id_col, text_col))
     sigs = sig_tbl.select("sig").distinct()
     bands = sigs.select(
         "sig",

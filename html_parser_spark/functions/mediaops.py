@@ -126,20 +126,20 @@ def _decode_bmp(raw: bytes) -> dict:
             "array": grid.astype(np.int64)}
 
 
-def encode_bmp(pixels: list) -> bytes:
-    """Inverse of :func:`_decode_bmp` for tests/tools: top-down RGB rows →
-    uncompressed 24-bit bottom-up BMP bytes."""
+def encode_bmp(pixels) -> bytes:
+    """Inverse of :func:`_decode_bmp` for tests/tools: top-down RGB rows
+    (nested lists or an (h, w, 3) int array) → uncompressed 24-bit
+    bottom-up BMP bytes. Array input takes a vectorized path so
+    resize_image's encode half doesn't round-trip through Python tuples."""
     import struct
+    import numpy as np
     height = len(pixels)
     width = len(pixels[0]) if height else 0
     row_size = (width * 3 + 3) & ~3
-    data = bytearray()
-    for row in reversed(pixels):
-        line = bytearray()
-        for (r, g, b) in row:
-            line += bytes((b, g, r))
-        line += b"\x00" * (row_size - len(line))
-        data += line
+    arr = np.asarray(pixels, dtype=np.uint8)
+    padded = np.zeros((height, row_size), dtype=np.uint8)
+    padded[:, :width * 3] = arr[::-1, :, ::-1].reshape(height, width * 3)
+    data = padded.tobytes()
     pix_off = 14 + 40
     file_size = pix_off + len(data)
     header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pix_off)
@@ -239,11 +239,10 @@ def encode_png(pixels: list) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
-    flat = bytearray()
-    for row in pixels:
-        flat.append(0)
-        for px in row:
-            flat += bytes(px)
+    import numpy as np
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(height, width * bpp)
+    flat = np.hstack([np.zeros((height, 1), dtype=np.uint8),
+                      arr]).tobytes()  # filter byte 0 per scanline
     return (b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8,
                                          color, 0, 0, 0))
@@ -411,8 +410,11 @@ class _BitReader:
         raw = self.raw
         if self.marker is None:
             pos = self.pos
+            # skip to the next real marker, treating FF 00 as stuffed data
+            # and FF FF as a fill byte padding the marker (T.81 B.1.1.2)
             while pos + 1 < len(raw) and not (
-                    raw[pos] == 0xFF and raw[pos + 1] != 0x00):
+                    raw[pos] == 0xFF
+                    and raw[pos + 1] not in (0x00, 0xFF)):
                 pos += 1
             self.marker = raw[pos + 1] if pos + 1 < len(raw) else None
             self.pos = pos + 2
@@ -1132,18 +1134,15 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         bot = src[np.ix_(y1, x0)] * (1 - wx) + src[np.ix_(y1, x1)] * wx
         out = top * (1 - wy) + bot * wy
     out = np.clip(np.rint(out), 0, 255).astype(int)
-    if gray:
-        pixels = [list(map(int, row)) for row in out]
-    else:
-        nch = out.shape[-1]
-        pixels = [[tuple(map(int, px))[:nch] for px in row] for row in out]
+    # bmp/png/jpeg encoders take the array directly (no per-pixel Python
+    # round trip); GIF builds its palette from hashable tuples.
     if fmt == "bmp":
-        return encode_bmp(pixels)
+        return encode_bmp(out)
     if fmt == "png":
-        return encode_png(pixels)
+        return encode_png(out)
     if fmt == "jpeg":
-        return encode_jpeg(pixels, quality=92)
-    return encode_gif(pixels)
+        return encode_jpeg(out, quality=92)
+    return encode_gif([[tuple(px) for px in row] for row in out.tolist()])
 
 
 def _features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1182,6 +1181,18 @@ _DECODE_NULLS = ["fmt", "width", "height", "mean_r", "mean_g", "mean_b",
                  "peak", "rms", "duration_ms"]
 
 
+def _channel_means(img: dict) -> tuple:
+    """Per-channel means of a decoded array. Grayscale has ONE channel —
+    indexing px[..., 0/1/2] on a 2-D 'L' array would silently take pixel
+    COLUMNS — so its mean is replicated into all three outputs."""
+    px = img["array"]
+    if img["mode"] == "L":
+        m = float(px.mean())
+        return m, m, m
+    return (float(px[..., 0].mean()), float(px[..., 1].mean()),
+            float(px[..., 2].mean()))
+
+
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
     for b in batches:
@@ -1203,12 +1214,10 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 else:
                     img = _decode_image_array(raw)
                     fmt = image_dimensions(raw)["format"]
-                    px = img["array"]
+                    mr, mg, mb = _channel_means(img)
                     vals = {"fmt": fmt, "width": img["width"],
                             "height": img["height"],
-                            "mean_r": float(px[..., 0].mean()),
-                            "mean_g": float(px[..., 1].mean()),
-                            "mean_b": float(px[..., 2].mean()),
+                            "mean_r": mr, "mean_g": mg, "mean_b": mb,
                             "peak": None, "rms": None, "duration_ms": None}
                 out["status"].append("ok")
                 for k in _DECODE_NULLS:
@@ -1272,12 +1281,10 @@ def thumbnail_features(media: DataFrame, width: int = 8,
                 try:
                     thumb = resize_image(raw, width, height)
                     img = _decode_image_array(thumb)
-                    px = img["array"]
+                    mr, mg, mb = _channel_means(img)
                     vals = {"fmt": fmt, "width": img["width"],
                             "height": img["height"],
-                            "mean_r": float(px[..., 0].mean()),
-                            "mean_g": float(px[..., 1].mean()),
-                            "mean_b": float(px[..., 2].mean())}
+                            "mean_r": mr, "mean_g": mg, "mean_b": mb}
                     status = "ok"
                 except Exception as e:  # noqa: BLE001 — never-fail
                     vals = {k.name: None for k in THUMBNAIL_SCHEMA.fields

@@ -218,8 +218,19 @@ def _assign_buckets(df: DataFrame, n_bits: int, id_col: str, vec_col: str,
         for pdf in batches:
             if pdf.empty:
                 continue
-            V = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf[vec_col]])
+            # Null / ragged vectors get a NULL bucket in the HOF form and
+            # silently miss the bucket join; here they must be dropped
+            # BEFORE np.stack or one bad row fails the whole task.
+            vecs = [np.asarray(v, dtype=np.float64)
+                    for v in pdf[vec_col]]
+            want = next((v.size for v in vecs if v.ndim == 1 and v.size),
+                        0)
+            keep = [i for i, v in enumerate(vecs)
+                    if v.ndim == 1 and v.size == want and want]
+            if not keep:
+                continue
+            pdf = pdf.iloc[keep]
+            V = np.stack([vecs[i] for i in keep])
             n_rows, dim = V.shape
             # Hyperplane weights H[j, i] = cos(i*(j+1) + (j+1)) — same
             # deterministic seedless family as lsh_bucket / the SQL twin.

@@ -403,3 +403,30 @@ def test_resize_grayscale_jpeg_stays_grayscale():
     small = mediaops.resize_image(mediaops.encode_jpeg(g, quality=95),
                                   16, 10)
     assert mediaops.decode_image(small)["mode"] == "L"
+
+
+def test_jpeg_restart_marker_with_fill_bytes():
+    """T.81 B.1.1.2: RSTn markers may be padded with 0xFF fill bytes; the
+    restart scan must skip them, not report 0xFF as the marker."""
+    base = _jpeg_gradient(37, 21)
+    enc = mediaops.encode_jpeg(base, quality=92, restart_interval=3)
+    first_rst = min(enc.find(bytes((0xFF, 0xD0 + i))) for i in range(8)
+                    if enc.find(bytes((0xFF, 0xD0 + i))) != -1)
+    padded = enc[:first_rst] + b"\xff" + enc[first_rst:]
+    d = mediaops.decode_image(padded)
+    assert d["pixels"] == mediaops.decode_image(enc)["pixels"]
+
+
+def test_grayscale_channel_means_are_the_gray_mean():
+    """A 2-D mode-'L' array indexed px[..., 0/1/2] would take pixel
+    COLUMNS — the kernels must replicate the single-channel mean."""
+    from html_parser_spark.functions.mediaops import (
+        _channel_means, _decode_image_array)
+    g = [[10 if x == 0 else 200 for x in range(8)] for _ in range(4)]
+    enc = mediaops.encode_jpeg(g, quality=100)
+    img = _decode_image_array(enc)
+    assert img["mode"] == "L"
+    mr, mg, mb = _channel_means(img)
+    true_mean = float(img["array"].mean())
+    assert mr == mg == mb == true_mean
+    assert abs(true_mean - (10 * 4 + 200 * 28) / 32) < 3

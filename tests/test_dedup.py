@@ -542,3 +542,24 @@ def test_ngram_counts_ground_truth(spark):
     # 'big data' occurs 2x in doc 0 (overlapping windows) + 1x in doc 1
     assert out == {"big data": 3, "data big": 1} or out == {"big data": 3}
     assert out["big data"] == 3 and "data pipeline" not in out
+
+
+def test_lsh_bucket_assignment_tolerates_null_and_ragged_vectors(spark):
+    """A NULL or wrong-dimension embedding must not kill the ANN job: the
+    HOF form gives such rows a NULL bucket (silently un-joinable), so the
+    Arrow kernel drops them — same result, no task failure."""
+    from html_parser_spark.functions import vecops
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dirty = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None))
+         .when(F.col("vec_id") % 11 == 0, F.expr("slice(embedding, 1, 3)"))
+         .otherwise(F.col("embedding")))
+    q = dirty.where((F.col("vec_id") < 5) & (F.col("vec_id") % 7 != 0)
+                    & (F.col("vec_id") % 11 != 0))
+    got = vecops.lsh_bucketed_topk(q, dirty, k=3).collect()
+    assert got, "clean query rows must still produce neighbors"
+    bad = {int(r.vec_id) for r in dirty.where(
+        "embedding IS NULL OR size(embedding) = 3").collect()}
+    assert not {int(r.neighbor_id) for r in got} & bad

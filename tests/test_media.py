@@ -188,3 +188,20 @@ def test_media_decode_error_tolerance(spark):
     for i in (2, 4):
         assert thumbs[i].status.startswith("error:"), thumbs[i]
     assert thumbs[8].status == "ok" and thumbs[8].width == 8
+
+
+def test_decode_stats_grayscale_jpeg(spark):
+    """Grayscale JPEG through the decode kernel: stats are the gray mean
+    in all three channels, never per-column slices (and an image narrower
+    than 3 px must not become an error row)."""
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+    schema = StructType([StructField("media_id", LongType()),
+                         StructField("payload", BinaryType())])
+    g16 = mediaops.encode_jpeg([[128] * 16] * 8, quality=95)
+    g2 = mediaops.encode_jpeg([[64] * 2] * 8, quality=95)
+    rows = {r.media_id: r for r in mediaops.decode_media_features(
+        spark.createDataFrame([(1, g16), (2, g2)], schema)).collect()}
+    assert rows[1].status == "ok" and rows[2].status == "ok"
+    assert rows[1].mean_r == rows[1].mean_g == rows[1].mean_b == 128.0
+    assert rows[2].mean_r == 64.0 and rows[2].width == 2

@@ -384,3 +384,17 @@ def test_media_thumbs_is_map_only(spark):
     df = E.queries()["media_thumbs"](spark, SF)
     plan = A.formatted_plan(df)
     assert "Exchange" not in plan, plan
+
+
+def test_swap_persist_bounds_live_caches(spark):
+    """Operator-internal persists must not accumulate across calls: the
+    second swap_persist under the same key unpersists the first."""
+    from html_parser_spark.functions.cacheutil import swap_persist
+    df1 = swap_persist("test.key", spark.range(10))
+    df1.count()
+    assert df1.storageLevel.useMemory
+    df2 = swap_persist("test.key", spark.range(20))
+    df2.count()
+    assert not df1.storageLevel.useMemory  # first copy released
+    assert df2.storageLevel.useMemory
+    df2.unpersist()
