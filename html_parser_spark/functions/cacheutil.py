@@ -35,3 +35,16 @@ def swap_persist(key: str, df: DataFrame, storage_level=None) -> DataFrame:
     out = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     _LIVE[key] = out
     return out
+
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a ``localCheckpoint``-ed DataFrame's backing
+    RDD. A local checkpoint TRUNCATES lineage, so the DataFrame is
+    unrecoverable afterwards — call this ONLY on superseded loop-internal
+    checkpoints that nothing references anymore (e.g. round N's labels
+    once round N+1 has materialized). Best-effort: internal-API failures
+    degrade to the old keep-until-session-end behavior."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from . import cacheutil
 from .textops import char_shingles
 
 __all__ = [
@@ -420,10 +421,17 @@ def dedup_clusters(docs: DataFrame, edges: DataFrame | None = None,
                               F.coalesce("mlbl", "lbl").alias("lbl"))
                       .localCheckpoint())
         new_sum = new_labels.agg(_lsum).collect()[0][0]
+        # Round N's checkpoint is superseded the moment round N+1 has
+        # materialized — release it, or a long convergence (and every
+        # fresh CALL in a long-lived driver) accumulates dead cached
+        # RDDs. adj and the FINAL labels stay: the returned plan needs
+        # labels, and a truncated checkpoint cannot recompute.
+        cacheutil.release_local_checkpoint(labels)
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    cacheutil.release_local_checkpoint(adj)  # not in the returned plan
     full = (docs.select(F.col(id_col).alias("doc_id"))
             .join(labels, "doc_id", "left")
             .select("doc_id",
