@@ -222,3 +222,42 @@ def test_stream_near_dedup_collapses_token_set_clones(spark, tmp_path):
     assert "u3" in kept
     assert len(kept & {"u1", "u2"}) == 1  # same distinct-token set
     assert len(kept) == 2
+
+
+def test_stream_media_decode_available_now(spark, tmp_path):
+    """The media decode kernel composes with Structured Streaming
+    unchanged: mapInPandas over a readStream of binary payloads (the
+    shape of a continuously-landing WARC media feed), AvailableNow drain,
+    same closed-form stats as the batch path — including an error row."""
+    from html_parser_spark.functions.mediaops import (
+        decode_media_features, encode_png)
+    from html_parser_spark.sources.media import media_payloads
+
+    src = str(tmp_path / "media")
+    docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    batch_tbl = media_payloads(docs)
+    corrupt = spark.createDataFrame(
+        [(999, "png", bytearray(b"\x89PNG\r\n\x1a\n" + b"\xff" * 30))],
+        batch_tbl.schema)
+    batch_tbl.unionByName(corrupt).coalesce(1).write.parquet(src)
+
+    stream = (spark.readStream.schema(batch_tbl.schema).parquet(src))
+    sink = []
+    q = (decode_media_features(stream).writeStream
+         .foreachBatch(lambda df, _id: sink.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt_md"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    rows = {r.media_id: r for r in sink}
+    assert len(rows) == 25
+    assert rows[999].status.startswith("error:")
+    for did in range(24):
+        r = rows[did]
+        assert r.status == "ok", r
+        if did % 4 == 3:
+            assert r.fmt == "wav" and r.peak == did % 1000
+        else:
+            assert (r.mean_r, r.mean_g, r.mean_b) == \
+                (did % 256, (did * 7) % 256, (did * 13) % 256), r
