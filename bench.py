@@ -438,7 +438,49 @@ def main() -> None:
         result["scaling"] = scaling_result
     if north_pair is not None:
         result["scaling_north_pair"] = north_pair
-    print(json.dumps(result))
+    _emit(result)
+
+
+def _emit(result: dict) -> None:
+    """Record the artifact durably, then print a parseable final line.
+
+    The driver keeps only the LAST ~2000 chars of stdout and parses the
+    final JSON line; BENCH_r04.json lost most per-query timings because
+    the r4 line outgrew that window (VERDICT r4 "What's wrong" #1). So:
+    the FULL result always lands in bench_last.json next to this script,
+    and the printed line is slimmed until it fits the window — dropping
+    first the verbose scaling sub-blocks (medians survive), then, only
+    if still oversize, the per-query dict (which then lives solely in
+    bench_last.json, flagged via "queries_file")."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_last.json"), "w") as fh:
+        json.dump(result, fh, indent=2, sort_keys=True)
+        fh.write("\n")
+
+    line_budget = 1900  # driver window is 2000; leave margin
+    compact = dict(result)
+    compact["queries"] = {k: round(v, 2) for k, v in result["queries"].items()}
+
+    def _dump(d: dict) -> str:
+        return json.dumps(d, separators=(",", ":"))
+
+    if len(_dump(compact)) > line_budget and "scaling_north_pair" in compact:
+        np_full = compact["scaling_north_pair"]
+        compact["scaling_north_pair"] = {
+            k: np_full[k] for k in
+            ("median_docs_per_sec", "efficiency_2_to_8", "efficiency_runs")
+            if k in np_full}
+    if len(_dump(compact)) > line_budget and "scaling" in compact:
+        sc_full = compact["scaling"]
+        compact["scaling"] = {k: v for k, v in sc_full.items()
+                              if not isinstance(v, (list, dict))
+                              or k in ("levels_docs_per_sec", "efficiency")}
+    if len(_dump(compact)) > line_budget:
+        compact["queries"] = dict(sorted(
+            result["queries"].items(), key=lambda kv: -kv[1])[:10])
+        compact["queries_truncated_to_top10_by_sec"] = True
+        compact["queries_file"] = "bench_last.json"
+    print(_dump(compact))
 
 
 if __name__ == "__main__":

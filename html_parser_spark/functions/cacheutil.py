@@ -43,8 +43,24 @@ def release_local_checkpoint(df: DataFrame) -> None:
     unrecoverable afterwards — call this ONLY on superseded loop-internal
     checkpoints that nothing references anymore (e.g. round N's labels
     once round N+1 has materialized). Best-effort: internal-API failures
-    degrade to the old keep-until-session-end behavior."""
+    degrade to the old keep-until-session-end behavior.
+
+    Guarded: only fires when the analyzed plan IS a checkpoint scan
+    (``LogicalRDD``) — on any Spark version or call site where it is not
+    (a live non-checkpointed DataFrame, a renamed internal class), this
+    no-ops WITHOUT unpersisting, because unpersisting the RDD under a
+    lineage-truncated plan makes the handle permanently uncomputable.
+    Failures log at debug so misuse is observable, not swallowed."""
+    import logging
+    log = logging.getLogger(__name__)
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+        plan = df._jdf.queryExecution().analyzed()
+        cls = plan.getClass().getSimpleName()
+        if cls != "LogicalRDD":
+            log.debug("release_local_checkpoint: plan is %s, not a "
+                      "checkpointed LogicalRDD — skipping unpersist", cls)
+            return
+        plan.rdd().unpersist(False)
+    except Exception as exc:  # py4j / internal-API drift — observable no-op
+        log.debug("release_local_checkpoint: best-effort release failed "
+                  "(%s: %s)", type(exc).__name__, exc)

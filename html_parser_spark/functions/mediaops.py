@@ -458,6 +458,14 @@ def _decode_jpeg(raw: bytes) -> dict:
         if marker == 0xFF:
             pos += 1
             continue
+        # Length-less markers (T.81 B.1.1.4): TEM, RSTn, and a stray SOI
+        # are standalone — reading a seglen after them would swallow
+        # arbitrary header bytes. A premature EOI means no scan data.
+        if marker == 0xD9:
+            raise ValueError("unexpected EOI before JPEG scan data")
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
         seglen = struct.unpack_from(">H", raw, pos + 2)[0]
         seg = raw[pos + 4:pos + 2 + seglen]
         if len(seg) < seglen - 2:
@@ -1014,13 +1022,19 @@ def image_dimensions(payload: bytes) -> dict:
     import struct
 
     raw = bytes(payload)
-    if raw[:2] == b"BM" and len(raw) >= 26:
+    if raw[:2] == b"BM":
+        if len(raw) < 26:
+            raise ValueError("truncated BMP header")
         w, h = struct.unpack_from("<ii", raw, 18)
         return {"format": "bmp", "width": w, "height": abs(h)}
-    if raw[:8] == b"\x89PNG\r\n\x1a\n" and len(raw) >= 24:
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(raw) < 24:
+            raise ValueError("truncated PNG IHDR")
         w, h = struct.unpack_from(">II", raw, 16)
         return {"format": "png", "width": w, "height": h}
-    if raw[:6] in (b"GIF87a", b"GIF89a") and len(raw) >= 10:
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        if len(raw) < 10:
+            raise ValueError("truncated GIF screen descriptor")
         w, h = struct.unpack_from("<HH", raw, 6)
         return {"format": "gif", "width": w, "height": h}
     if raw[:2] == b"\xff\xd8":  # JPEG SOI; scan for a frame header
@@ -1046,6 +1060,16 @@ def image_dimensions(payload: bytes) -> dict:
         raise ValueError("JPEG frame header not found")
     raise NotImplementedError(
         f"unrecognized image magic {raw[:8]!r}")
+
+
+def has_image_magic(payload: bytes) -> bool:
+    """True when the payload LEADS with a known image signature — the
+    image/non-image split ``thumbnail_features`` uses to decide drop
+    (audio/video/unknown) vs error-row (image magic, corrupt body)."""
+    raw = bytes(payload)
+    return (raw[:2] in (b"BM", b"\xff\xd8")
+            or raw[:8] == b"\x89PNG\r\n\x1a\n"
+            or raw[:6] in (b"GIF87a", b"GIF89a"))
 
 
 def decode_wav(payload: bytes) -> dict:
@@ -1264,9 +1288,11 @@ def thumbnail_features(media: DataFrame, width: int = 8,
     (decode → numpy resample → re-encode), then decode the thumbnail and
     emit its dims + channel means — the decode→resize→encode→decode chain
     a vision-training prep job runs, with every codec on both sides of
-    the resize. Rows whose payload has no image magic are dropped (audio/
-    video); rows whose image BODY fails to decode or re-encode degrade to
-    status='error:<type>' — never a failed job."""
+    the resize. Rows whose payload has no image MAGIC are dropped (audio/
+    video/unknown); rows that lead with an image signature but whose
+    header or body fails to sniff/decode/re-encode degrade to
+    status='error:<type>' — never a dropped image, never a failed job
+    (matching decode_media_features' contract for the same payload)."""
     def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         for b in batches:
@@ -1276,8 +1302,17 @@ def thumbnail_features(media: DataFrame, width: int = 8,
                 raw = bytes(p) if p is not None else b""
                 try:
                     fmt = image_dimensions(raw)["format"]
-                except (NotImplementedError, ValueError):
-                    continue  # audio/video rows: not an image
+                except (NotImplementedError, ValueError) as e:
+                    if not has_image_magic(raw):
+                        continue  # audio/video/unknown rows: not an image
+                    # Image magic with a corrupt/truncated header: an
+                    # error row, same as a corrupt body downstream.
+                    out["media_id"].append(int(mid))
+                    out["status"].append(f"error:{type(e).__name__}")
+                    for k in THUMBNAIL_SCHEMA.fields:
+                        if k.name not in ("media_id", "status"):
+                            out[k.name].append(None)
+                    continue
                 try:
                     thumb = resize_image(raw, width, height)
                     img = _decode_image_array(thumb)

@@ -220,11 +220,20 @@ def _assign_buckets(df: DataFrame, n_bits: int, id_col: str, vec_col: str,
                 continue
             # Null / ragged vectors get a NULL bucket in the HOF form and
             # silently miss the bucket join; here they must be dropped
-            # BEFORE np.stack or one bad row fails the whole task.
+            # BEFORE np.stack or one bad row fails the whole task. The
+            # expected dim is the MODAL size across the batch (ties → the
+            # smaller size, deterministically) — never the first valid
+            # vector, which would let one leading ragged row silently
+            # drop every well-formed row in its batch.
             vecs = [np.asarray(v, dtype=np.float64)
                     for v in pdf[vec_col]]
-            want = next((v.size for v in vecs if v.ndim == 1 and v.size),
-                        0)
+            sizes: dict[int, int] = {}
+            for v in vecs:
+                if v.ndim == 1 and v.size:
+                    sizes[v.size] = sizes.get(v.size, 0) + 1
+            want = (min(s for s, n in sizes.items()
+                        if n == max(sizes.values()))
+                    if sizes else 0)
             keep = [i for i, v in enumerate(vecs)
                     if v.ndim == 1 and v.size == want and want]
             if not keep:

@@ -417,6 +417,21 @@ def test_jpeg_restart_marker_with_fill_bytes():
     assert d["pixels"] == mediaops.decode_image(enc)["pixels"]
 
 
+def test_jpeg_standalone_markers_in_header_section():
+    """T.81 B.1.1.4: TEM (0x01) and RSTn carry NO length field; a stray
+    one in the header section must be skipped as 2 bytes, not read as a
+    segment (which would swallow arbitrary header bytes). A premature
+    EOI must raise a descriptive ValueError, not misparse."""
+    base = _jpeg_gradient(16, 16)
+    enc = mediaops.encode_jpeg(base, quality=92)
+    ref = mediaops.decode_image(enc)["pixels"]
+    # splice TEM then a stray RST2 right after SOI
+    spliced = enc[:2] + b"\xff\x01\xff\xd2" + enc[2:]
+    assert mediaops.decode_image(spliced)["pixels"] == ref
+    with pytest.raises(ValueError):
+        mediaops.decode_image(enc[:2] + b"\xff\xd9" + enc[2:])
+
+
 def test_grayscale_channel_means_are_the_gray_mean():
     """A 2-D mode-'L' array indexed px[..., 0/1/2] would take pixel
     COLUMNS — the kernels must replicate the single-channel mean."""

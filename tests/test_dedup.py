@@ -563,3 +563,20 @@ def test_lsh_bucket_assignment_tolerates_null_and_ragged_vectors(spark):
     bad = {int(r.vec_id) for r in dirty.where(
         "embedding IS NULL OR size(embedding) = 3").collect()}
     assert not {int(r.neighbor_id) for r in got} & bad
+
+
+def test_lsh_bucket_ragged_first_row_keeps_valid_rows(spark):
+    """The expected dim is the MODAL size per batch, never the first valid
+    vector: a batch whose FIRST row is ragged must keep every well-formed
+    row (ADVICE r4 — first-valid inference silently dropped the whole
+    batch's good rows when a short vector led it)."""
+    from html_parser_spark.functions import vecops
+    rows = ([(0, [1.0, 2.0, 3.0])]                       # ragged leader
+            + [(i, [float(i + d) for d in range(64)])    # 9 valid 64-dim
+               for i in range(1, 10)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>"
+                               ).coalesce(1)
+    got = vecops._assign_buckets(df, 8, "vec_id", "embedding",
+                                 "out_id", "out_vec", "out_norm").collect()
+    assert {int(r.out_id) for r in got} == set(range(1, 10))
+    assert all(len(r.out_vec) == 64 for r in got)

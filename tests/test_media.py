@@ -181,13 +181,25 @@ def test_media_decode_error_tolerance(spark):
 
     thumbs = {r.media_id: r for r in
               mediaops.thumbnail_features(df).collect()}
-    # payloads whose dims can't even be sniffed (incl. the headerless
-    # JPEG) are dropped as non-images; sniffable images with corrupt
-    # BODIES degrade to error rows; the control thumbnails cleanly
-    assert set(thumbs) == {2, 4, 8}
-    for i in (2, 4):
+    # payloads with NO image magic (audio/unknown/empty/NULL) are dropped
+    # as non-images; anything leading with an image signature — corrupt
+    # header (3) or corrupt body (2, 4) — degrades to an error row, the
+    # same never-drop-an-image contract as decode_media_features; the
+    # control thumbnails cleanly
+    assert set(thumbs) == {2, 3, 4, 8}
+    for i in (2, 3, 4):
         assert thumbs[i].status.startswith("error:"), thumbs[i]
+        assert thumbs[i].width is None
     assert thumbs[8].status == "ok" and thumbs[8].width == 8
+
+    # truncated PNG IHDR: image magic, header sniff fails → error row
+    # (and the sniff itself reports ValueError, not unrecognized-magic)
+    trunc_png = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\n\x00\x00")], schema)
+    with pytest.raises(ValueError):
+        mediaops.image_dimensions(b"\x89PNG\r\n\x1a\n\x00\x00")
+    t = mediaops.thumbnail_features(trunc_png).collect()
+    assert len(t) == 1 and t[0].status == "error:ValueError"
 
 
 def test_decode_stats_grayscale_jpeg(spark):
