@@ -155,6 +155,31 @@ def test_wav_8bit_and_stereo_first_channel():
     assert info["rms"] == 20.0
 
 
+def test_wav_vectorized_matches_scalar_reference():
+    """The array-native decode path (np.frombuffer + int64 dot) must be
+    bit-identical to the per-sample scalar form it replaced, on a long
+    stereo 16-bit stream including the -32768 abs-overflow edge."""
+    import io
+    import math
+    import struct
+    import wave
+    n = 40000
+    left = [((i * 2654435761) % 65536) - 32768 for i in range(n)]
+    right = [((i * 40503) % 65536) - 32768 for i in range(n)]
+    inter = [v for lr in zip(left, right) for v in lr]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack(f"<{len(inter)}h", *inter))
+    info = mediaops.decode_wav(buf.getvalue())
+    assert info["peak"] == max(abs(s) for s in left)
+    assert info["rms"] == round(
+        math.sqrt(sum(s * s for s in left) / n), 6)
+    assert info["n_frames"] == n and info["n_channels"] == 2
+
+
 def test_wav_rejects_nonpcm_widths():
     import io
     import wave
