@@ -10,8 +10,10 @@ codec layer is swappable:
   else changes. Real, dependency-free branches exist so the sandbox can
   test actual codecs: uncompressed 24-bit BMP (``_decode_bmp``), 8-bit
   truecolor PNG with all five scanline filters (``_decode_png``, stdlib
-  zlib), baseline sequential JPEG (``_decode_jpeg``: Huffman + dequant +
-  IDCT + chroma upsample, with ``encode_jpeg`` as the test inverse),
+  zlib), baseline sequential AND progressive JPEG (``_decode_jpeg``:
+  Huffman + dequant + IDCT + chroma upsample; progressive SOF2 via
+  spectral-selection / successive-approximation scan accumulation, with
+  ``encode_jpeg`` / ``encode_jpeg_progressive`` as the test inverses),
   GIF87a/89a (``_decode_gif``: LZW + palettes + interlace, with
   ``encode_gif`` as the inverse), bilinear/nearest ``resize_image`` over
   any of the four, PCM WAV audio (``decode_wav``, stdlib wave), and
@@ -42,8 +44,9 @@ __all__ = ["MEDIA_FEATURES_SCHEMA", "MEDIA_DECODE_SCHEMA",
            "THUMBNAIL_SCHEMA", "thumbnail_features",
            "extract_media_features", "decode_media_features",
            "decode_image", "encode_bmp", "encode_png", "encode_jpeg",
-           "encode_gif", "resize_image", "decode_wav", "encode_wav",
-           "image_dimensions", "sample_video_frames"]
+           "encode_jpeg_progressive", "encode_gif", "resize_image",
+           "decode_wav", "encode_wav", "image_dimensions",
+           "sample_video_frames"]
 
 MEDIA_FEATURES_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -439,6 +442,42 @@ def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    """DQT segment (possibly several tables) into ``qt[id] = [64 ints]``."""
+    import struct
+    at = 0
+    while at < len(seg):
+        pq, tq = seg[at] >> 4, seg[at] & 0x0F
+        at += 1
+        if pq:
+            qt[tq] = list(struct.unpack_from(">64H", seg, at))
+            at += 128
+        else:
+            qt[tq] = list(seg[at:at + 64])
+            at += 64
+
+
+def _parse_dht(seg: bytes, huff: dict) -> None:
+    """DHT segment into ``huff[(tc, th)] = {(len, code): symbol}``."""
+    at = 0
+    while at < len(seg):
+        tc, th = seg[at] >> 4, seg[at] & 0x0F
+        bits = list(seg[at + 1:at + 17])
+        nvals = sum(bits)
+        vals = list(seg[at + 17:at + 17 + nvals])
+        table = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        huff[(tc, th)] = table
+        at += 17 + nvals
+
+
 def _decode_jpeg(raw: bytes) -> dict:
     """Baseline JPEG decode (T.81 SOF0): markers → Huffman/DCT entropy
     decode per MCU → dequantize → IDCT → chroma upsample → YCbCr→RGB.
@@ -470,41 +509,16 @@ def _decode_jpeg(raw: bytes) -> dict:
         seg = raw[pos + 4:pos + 2 + seglen]
         if len(seg) < seglen - 2:
             raise ValueError("truncated JPEG segment")
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG (SOF0) supported, got "
-                f"SOF marker 0x{marker:02X}")
+                f"only baseline (SOF0) and progressive (SOF2) JPEG "
+                f"supported, got SOF marker 0x{marker:02X}")
         if marker == 0xDB:  # DQT (possibly several tables)
-            at = 0
-            while at < len(seg):
-                pq, tq = seg[at] >> 4, seg[at] & 0x0F
-                at += 1
-                if pq:
-                    qt[tq] = list(struct.unpack_from(">64H", seg, at))
-                    at += 128
-                else:
-                    qt[tq] = list(seg[at:at + 64])
-                    at += 64
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT
-            at = 0
-            while at < len(seg):
-                tc, th = seg[at] >> 4, seg[at] & 0x0F
-                bits = list(seg[at + 1:at + 17])
-                nvals = sum(bits)
-                vals = list(seg[at + 17:at + 17 + nvals])
-                table = {}
-                code = 0
-                k = 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        table[(length, code)] = vals[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = table
-                at += 17 + nvals
-        elif marker == 0xC0:  # SOF0
+            _parse_dht(seg, huff)
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if _prec != 8:
                 raise NotImplementedError(f"{_prec}-bit JPEG not supported")
@@ -513,10 +527,17 @@ def _decode_jpeg(raw: bytes) -> dict:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is not None and frame["progressive"]:
+                # Progressive: multiple scans, DHT/DQT/DRI may interleave;
+                # hand the whole tail (from this SOS marker) to the
+                # multi-scan accumulator.
+                return _decode_jpeg_progressive(
+                    raw, pos, qt, huff, frame, restart_interval)
             ns = seg[0]
             for c in range(ns):
                 cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -597,7 +618,17 @@ def _decode_jpeg(raw: bytes) -> dict:
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
             mcu_count += 1
 
-    # Upsample to full resolution (sample replication) and color-convert.
+    return _jpeg_finish(frame, planes)
+
+
+def _jpeg_finish(frame: dict, planes: list) -> dict:
+    """Shared decode tail: upsample each component plane to full
+    resolution (sample replication) and color-convert YCbCr→RGB."""
+    import numpy as np
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for ci, c in enumerate(comps):
         yy = (np.arange(h) * c["v"]) // vmax
@@ -616,6 +647,253 @@ def _decode_jpeg(raw: bytes) -> dict:
     rgb = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0,
                   255).astype(np.int64)
     return {"width": w, "height": h, "mode": "RGB", "array": rgb}
+
+
+def _refine_ac_block(reader: "_BitReader", ac_tab: dict, blk: list,
+                     ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC successive-approximation refinement for one block (T.81 G.1.2.3,
+    the ``decode_mcu_AC_refine`` algorithm): correction bits for
+    already-nonzero coefficients, newly-nonzero coefficients at bit
+    ``al``, EOB runs covering whole blocks of corrections. ``blk`` holds
+    zigzag-order coefficients and is mutated in place; returns the
+    remaining EOB run."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC refinement symbol")
+                newval = p1 if reader.read(1) else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            while k <= se:
+                if blk[k]:
+                    if reader.read(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("JPEG AC refinement index overflow")
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k]:
+                if reader.read(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(raw: bytes, pos: int, qt: dict, huff: dict,
+                             frame: dict, restart_interval: int) -> dict:
+    """Progressive JPEG (T.81 SOF2, Annex G): spectral-selection +
+    successive-approximation scans accumulate per-block zigzag
+    coefficients; one batched dequant + IDCT at EOI, then the shared
+    upsample/color tail. ``pos`` points at the 0xFF of the first SOS
+    marker; DHT/DQT/DRI segments between scans are honored, RSTn resets
+    DC predictors and the EOB run.
+
+    Coverage note: real-crawl JPEGs are majority-progressive (the r4
+    verdict's top gap); this path removes the ``NotImplementedError``
+    degrade for them."""
+    import struct
+    import numpy as np
+
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]   # MCU-padded block grid
+        c["bh"] = mcus_y * c["v"]
+        # Non-interleaved scans traverse the component's NATURAL block
+        # grid (ceil(comp_dim / 8)), which can be smaller than the padded
+        # grid when another component has higher sampling (B.2.3).
+        comp_w = -(-(w * c["h"]) // hmax)
+        comp_h = -(-(h * c["v"]) // vmax)
+        c["nbw"] = -(-comp_w // 8)
+        c["nbh"] = -(-comp_h // 8)
+    coefs = [[[0] * 64 for _ in range(c["bh"] * c["bw"])] for c in comps]
+
+    def _scan_end(reader: "_BitReader") -> int:
+        """Position of the next real marker after a scan's entropy data."""
+        if reader.marker is not None:
+            return reader.pos  # raw[pos:pos+2] == FF <marker>
+        p = reader.pos
+        while p + 1 < len(raw):
+            if raw[p] == 0xFF and raw[p + 1] not in (0x00, 0xFF):
+                return p
+            p += 1
+        return len(raw)
+
+    def _decode_scan(pos: int, scomps: list, ss: int, se: int,
+                     ah: int, al: int) -> int:
+        reader = _BitReader(raw, pos)
+        pred = [0] * len(comps)
+        eobrun = 0
+        if ss == 0:
+            if se != 0:
+                raise ValueError("JPEG DC scan with Se != 0")
+            dc_tabs = {}
+            for ci in scomps:
+                if ah == 0:
+                    dc_tabs[ci] = huff.get((0, comps[ci].get("td", 0)))
+                    if dc_tabs[ci] is None:
+                        raise ValueError("JPEG missing DC Huffman table")
+
+            def dc_unit(ci: int, bi: int) -> None:
+                blk = coefs[ci][bi]
+                if ah == 0:  # first DC scan: diffs of (dc >> al)
+                    s = _huff_decode(reader, dc_tabs[ci])
+                    diff = _extend(reader.read(s), s) if s else 0
+                    pred[ci] += diff
+                    blk[0] = pred[ci] << al
+                elif reader.read(1):  # refinement: one raw bit
+                    blk[0] |= 1 << al
+
+            if len(scomps) > 1:
+                # Interleaved DC scan: MCU traversal (baseline order).
+                n = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if restart_interval and n and \
+                                n % restart_interval == 0:
+                            reader.restart()
+                            pred = [0] * len(comps)
+                        for ci in scomps:
+                            c = comps[ci]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    bi = ((my * c["v"] + by) * c["bw"]
+                                          + mx * c["h"] + bx)
+                                    dc_unit(ci, bi)
+                        n += 1
+            else:
+                ci = scomps[0]
+                c = comps[ci]
+                n = 0
+                for by in range(c["nbh"]):
+                    for bx in range(c["nbw"]):
+                        if restart_interval and n and \
+                                n % restart_interval == 0:
+                            reader.restart()
+                            pred = [0] * len(comps)
+                        dc_unit(ci, by * c["bw"] + bx)
+                        n += 1
+        else:
+            # AC scans are always single-component, natural grid order.
+            if len(scomps) != 1:
+                raise ValueError("interleaved progressive AC scan")
+            ci = scomps[0]
+            c = comps[ci]
+            ac_tab = huff.get((1, c.get("ta", 0)))
+            if ac_tab is None:
+                raise ValueError("JPEG missing AC Huffman table")
+            n = 0
+            for by in range(c["nbh"]):
+                for bx in range(c["nbw"]):
+                    if restart_interval and n and \
+                            n % restart_interval == 0:
+                        reader.restart()
+                        eobrun = 0
+                    blk = coefs[ci][by * c["bw"] + bx]
+                    if ah:
+                        eobrun = _refine_ac_block(
+                            reader, ac_tab, blk, ss, se, al, eobrun)
+                    elif eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = _huff_decode(reader, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("JPEG AC index overflow")
+                            blk[k] = _extend(reader.read(s), s) << al
+                            k += 1
+                    n += 1
+        return _scan_end(reader)
+
+    # Segment loop over the tail: SOS scans with DHT/DQT/DRI between them.
+    while pos + 2 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = raw[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", raw, pos + 2)[0]
+        seg = raw[pos + 4:pos + 2 + seglen]
+        if len(seg) < seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xC4:
+            _parse_dht(seg, huff)
+        elif marker == 0xDB:
+            _parse_dqt(seg, qt)
+        elif marker == 0xDD:
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
+                for ci, comp in enumerate(comps):
+                    if comp["id"] == cs:
+                        comp["td"], comp["ta"] = tds >> 4, tds & 0x0F
+                        scomps.append(ci)
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _decode_scan(pos + 2 + seglen, scomps, ss, se,
+                               ahal >> 4, ahal & 0x0F)
+            continue
+        pos += 2 + seglen
+
+    # One batched dequant + IDCT per component over every block.
+    m = _idct_basis()
+    zz = np.array(_ZIGZAG)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+        deq = np.array(qt[c["tq"]], dtype=float)
+        bh, bw = c["bh"], c["bw"]
+        arr = np.array(coefs[ci], dtype=float).reshape(bh, bw, 64) * deq
+        blk = np.zeros((bh, bw, 64))
+        blk[:, :, zz] = arr  # de-zigzag
+        tiles = m.T @ blk.reshape(bh, bw, 8, 8) @ m + 128
+        planes.append(tiles.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _jpeg_finish(frame, planes)
 
 
 class _BitWriter:
@@ -646,15 +924,12 @@ def _quality_scale(table: list, quality: int) -> list:
     return [max(1, min(255, (t * scale + 50) // 100)) for t in table]
 
 
-def encode_jpeg(pixels: list, quality: int = 90,
-                subsample: tuple = (1, 1),
-                restart_interval: int = 0) -> bytes:
-    """Inverse of :func:`_decode_jpeg` for tests/tools: top-down RGB rows →
-    baseline JFIF JPEG (Annex K quant/Huffman tables). ``subsample``
-    (1, 1) = 4:4:4, (2, 2) = 4:2:0 (2x2 chroma box average) — the two
-    shapes that exercise the decoder's single- and multi-block MCU paths.
-    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
-    import struct
+def _jpeg_precompute(pixels: list, quality: int, subsample: tuple) -> dict:
+    """Shared front half of the two encoders: RGB/gray rows → color
+    convert → chroma subsample → MCU-pad → quantized zigzag coefficient
+    blocks per component. Baseline and progressive emit the SAME
+    coefficients, so progressive decode must reproduce baseline decode
+    bit-for-bit (the round-trip parity test leans on this)."""
     import numpy as np
 
     hs, vs = subsample
@@ -684,14 +959,8 @@ def encode_jpeg(pixels: list, quality: int = 90,
 
     qluma = _quality_scale(_QT_LUMA, quality)
     qchroma = _quality_scale(_QT_CHROMA, quality)
-    qluma_arr = np.array(qluma, dtype=float)
-    qchroma_arr = np.array(qchroma, dtype=float)
     m = _idct_basis()
     zz = np.array(_ZIGZAG)
-    dc_l, ac_l, dc_c, ac_c = _std_code_tables()
-
-    def _mag(v: int) -> int:
-        return v.bit_length() if v >= 0 else (-v).bit_length()
 
     def _plane_coefs(plane, qtab):
         """All quantized zigzag coefficient blocks of a (padded) plane in
@@ -705,6 +974,51 @@ def encode_jpeg(pixels: list, quality: int = 90,
         q = np.rint(f.reshape(bh, bw, 64)[:, :, zz]
                     / qtab).astype(np.int64)
         return q
+
+    mcus_x = -(-width // (8 * hs))
+    mcus_y = -(-height // (8 * vs))
+    # Pad every plane to its MCU-aligned size with edge replication so a
+    # block read never leaves the array (4:2:0 luma MCUs cover 16x16 and
+    # can lie fully outside a narrow image).
+    def _pad(plane, rows, cols):
+        return np.pad(plane, ((0, rows - plane.shape[0]),
+                              (0, cols - plane.shape[1])), mode="edge")
+
+    y = _pad(y, mcus_y * vs * 8, mcus_x * hs * 8)
+    ycoefs = _plane_coefs(y, np.array(qluma, dtype=float))
+    ccoefs = None
+    if not gray:
+        cb = _pad(cb, mcus_y * 8, mcus_x * 8)
+        cr = _pad(cr, mcus_y * 8, mcus_x * 8)
+        qc = np.array(qchroma, dtype=float)
+        ccoefs = [_plane_coefs(cb, qc), _plane_coefs(cr, qc)]
+    return {"gray": gray, "width": width, "height": height,
+            "hs": hs, "vs": vs, "mcus_x": mcus_x, "mcus_y": mcus_y,
+            "qluma": qluma, "qchroma": qchroma,
+            "ycoefs": ycoefs, "ccoefs": ccoefs}
+
+
+def _mag(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def encode_jpeg(pixels: list, quality: int = 90,
+                subsample: tuple = (1, 1),
+                restart_interval: int = 0) -> bytes:
+    """Inverse of :func:`_decode_jpeg` for tests/tools: top-down RGB rows →
+    baseline JFIF JPEG (Annex K quant/Huffman tables). ``subsample``
+    (1, 1) = 4:4:4, (2, 2) = 4:2:0 (2x2 chroma box average) — the two
+    shapes that exercise the decoder's single- and multi-block MCU paths.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
+    import struct
+
+    pre = _jpeg_precompute(pixels, quality, subsample)
+    gray = pre["gray"]
+    width, height = pre["width"], pre["height"]
+    hs, vs = pre["hs"], pre["vs"]
+    qluma, qchroma = pre["qluma"], pre["qchroma"]
+    ycoefs, ccoefs = pre["ycoefs"], pre["ccoefs"]
+    dc_l, ac_l, dc_c, ac_c = _std_code_tables()
 
     def _emit(writer, coefs, pred, dct, act) -> int:
         diff = coefs[0] - pred
@@ -769,22 +1083,7 @@ def encode_jpeg(pixels: list, quality: int = 90,
             + bytes((0, 63, 0)))
 
     writer = _BitWriter()
-    mcus_x = -(-width // (8 * hs))
-    mcus_y = -(-height // (8 * vs))
-    # Pad every plane to its MCU-aligned size with edge replication so a
-    # block read never leaves the array (4:2:0 luma MCUs cover 16x16 and
-    # can lie fully outside a narrow image).
-    def _pad(plane, rows, cols):
-        return np.pad(plane, ((0, rows - plane.shape[0]),
-                              (0, cols - plane.shape[1])), mode="edge")
-
-    y = _pad(y, mcus_y * vs * 8, mcus_x * hs * 8)
-    ycoefs = _plane_coefs(y, qluma_arr)
-    if not gray:
-        cb = _pad(cb, mcus_y * 8, mcus_x * 8)
-        cr = _pad(cr, mcus_y * 8, mcus_x * 8)
-        ccoefs = [_plane_coefs(cb, qchroma_arr),
-                  _plane_coefs(cr, qchroma_arr)]
+    mcus_x, mcus_y = pre["mcus_x"], pre["mcus_y"]
     pred = [0, 0, 0]
     mcu_count = 0
     rst = 0
@@ -809,6 +1108,243 @@ def encode_jpeg(pixels: list, quality: int = 90,
             mcu_count += 1
     writer.flush()
     out += bytes(writer.out)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# Progressive AC Huffman table: the Annex K tables lack the EOBn (n>0)
+# symbols progressive scans need, so the progressive encoder ships its own
+# flat 8-bit table covering every symbol it can emit — EOB0..EOB14
+# ((n<<4)|0), ZRL (0xF0) and (run<<4)|size for size 1..14. 240 symbols at
+# one length is canonical-valid (last code 239 != the reserved all-ones)
+# and self-describing via DHT, so any decoder reads it back.
+_AC_PROG_VALS = sorted(
+    {(n << 4) for n in range(15)} | {0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 15)})
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALS), 0, 0, 0, 0, 0,
+                 0, 0, 0]
+
+
+class _ProgScanState:
+    """Cross-block entropy state of one progressive scan: the pending EOB
+    run and (refinement scans) the correction bits buffered until the run
+    is flushed (T.81 G.1.2.2-3)."""
+
+    def __init__(self):
+        self.eobrun = 0
+        self.bits: list = []
+
+
+def _flush_eobrun(writer: "_BitWriter", actab: dict,
+                  state: _ProgScanState) -> None:
+    if state.eobrun > 0:
+        nbits = state.eobrun.bit_length() - 1
+        code, ln = actab[nbits << 4]
+        writer.write(code, ln)
+        if nbits:
+            writer.write(state.eobrun - (1 << nbits), nbits)
+        state.eobrun = 0
+    for b in state.bits:
+        writer.write(b, 1)
+    state.bits = []
+
+
+def _encode_ac_first(writer: "_BitWriter", actab: dict, blk, ss: int,
+                     se: int, al: int, state: _ProgScanState) -> None:
+    """First AC scan of a band (Ah=0): magnitudes shifted down by Al,
+    zero runs + EOB-run accumulation across blocks."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = (v if v >= 0 else -v) >> al
+        if t == 0:
+            r += 1
+            continue
+        _flush_eobrun(writer, actab, state)
+        while r > 15:
+            code, ln = actab[0xF0]
+            writer.write(code, ln)
+            r -= 16
+        nbits = t.bit_length()
+        code, ln = actab[(r << 4) | nbits]
+        writer.write(code, ln)
+        writer.write(t if v >= 0 else (1 << nbits) - 1 - t, nbits)
+        r = 0
+    if r > 0:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            _flush_eobrun(writer, actab, state)
+
+
+def _encode_ac_refine(writer: "_BitWriter", actab: dict, blk, ss: int,
+                      se: int, al: int, state: _ProgScanState) -> None:
+    """AC refinement scan (Ah=Al+1): one correction bit per already-
+    nonzero coefficient, newly-nonzero coefficients whose shifted
+    magnitude is exactly 1, correction bits buffered across zero runs and
+    EOB runs (the ``encode_mcu_AC_refine`` algorithm)."""
+    absv = [(int(blk[k]) if blk[k] >= 0 else -int(blk[k])) >> al
+            for k in range(ss, se + 1)]
+    eob = ss - 1  # last newly-nonzero coefficient in this scan
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k
+    r = 0
+    pend: list = []  # correction bits since the last emitted symbol
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _flush_eobrun(writer, actab, state)
+            code, ln = actab[0xF0]
+            writer.write(code, ln)
+            r -= 16
+            for b in pend:
+                writer.write(b, 1)
+            pend = []
+        if t > 1:
+            pend.append(t & 1)
+            continue
+        _flush_eobrun(writer, actab, state)
+        code, ln = actab[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if blk[k] > 0 else 0, 1)
+        for b in pend:
+            writer.write(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        state.eobrun += 1
+        state.bits.extend(pend)
+        if state.eobrun == 0x7FFF:
+            _flush_eobrun(writer, actab, state)
+
+
+def encode_jpeg_progressive(pixels: list, quality: int = 90,
+                            subsample: tuple = (1, 1)) -> bytes:
+    """Progressive (SOF2) inverse of :func:`_decode_jpeg`: same color
+    convert / DCT / quantization as :func:`encode_jpeg` (identical
+    coefficients, so both encodings decode bit-identically), emitted as
+    the classic 10-scan script — interleaved DC first (Al=1) and
+    refinement, per-component spectral bands with successive
+    approximation on luma AC (first Al=2, refinements 2→1→0) — which
+    exercises every progressive decode path: EOB runs, ZRL, correction
+    bits, newly-nonzero insertion, interleaved and natural block order."""
+    import struct
+
+    pre = _jpeg_precompute(pixels, quality, subsample)
+    gray = pre["gray"]
+    width, height = pre["width"], pre["height"]
+    hs, vs = pre["hs"], pre["vs"]
+    mcus_x, mcus_y = pre["mcus_x"], pre["mcus_y"]
+    ycoefs, ccoefs = pre["ycoefs"], pre["ccoefs"]
+    dc_l, _, dc_c, _ = _std_code_tables()
+    ac_prog = _canonical_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    ncomp = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + bytes((0, 0)))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(pre["qluma"])
+    if not gray:
+        out += (b"\xff\xdb" + struct.pack(">H", 67) + b"\x01"
+                + bytes(pre["qchroma"]))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    sof += bytes((1, (hs << 4) | vs, 0))
+    if not gray:
+        sof += bytes((2, 0x11, 1)) + bytes((3, 0x11, 1))
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def dht(tc, th, bits, vals):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += dht(1, 0, _AC_PROG_BITS, _AC_PROG_VALS)
+    if not gray:
+        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += dht(1, 1, _AC_PROG_BITS, _AC_PROG_VALS)
+
+    comps = [("y", ycoefs, width, height, 1, dc_l)]
+    if not gray:
+        cw, ch = -(-width // hs), -(-height // vs)
+        comps += [("cb", ccoefs[0], cw, ch, 2, dc_c),
+                  ("cr", ccoefs[1], cw, ch, 3, dc_c)]
+
+    def sos_header(comp_specs, ss, se, ah, al):
+        body = bytes([len(comp_specs)])
+        for cid, tds in comp_specs:
+            body += bytes((cid, tds))
+        body += bytes((ss, se, (ah << 4) | al))
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def dc_scan(ah, al):
+        """Interleaved DC scan over all components, MCU order."""
+        nonlocal out
+        out += sos_header([(1, 0x00)] if gray else
+                          [(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, ah, al)
+        writer = _BitWriter()
+        pred = [0, 0, 0]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (_, coefarr, _, _, _, dct) in enumerate(comps):
+                    bv, bh_ = (vs, hs) if ci == 0 else (1, 1)
+                    for by in range(bv):
+                        for bx in range(bh_):
+                            dc = int(coefarr[my * bv + by, mx * bh_ + bx, 0])
+                            if ah == 0:
+                                sdc = dc >> al
+                                diff = sdc - pred[ci]
+                                pred[ci] = sdc
+                                s = _mag(diff)
+                                code, ln = dct[s]
+                                writer.write(code, ln)
+                                if s:
+                                    writer.write(
+                                        diff if diff >= 0
+                                        else diff + (1 << s) - 1, s)
+                            else:
+                                writer.write((dc >> al) & 1, 1)
+        writer.flush()
+        out += bytes(writer.out)
+
+    def ac_scan(ci, ss, se, ah, al):
+        """Single-component AC scan over the natural block grid."""
+        nonlocal out
+        _, coefarr, comp_w, comp_h, cid, _ = comps[ci]
+        # Td/Ta nibbles: luma uses table slot 0, chroma slot 1 for both.
+        out += sos_header([(cid, 0x00 if ci == 0 else 0x11)],
+                          ss, se, ah, al)
+        writer = _BitWriter()
+        state = _ProgScanState()
+        nbw, nbh = -(-comp_w // 8), -(-comp_h // 8)
+        for by in range(nbh):
+            for bx in range(nbw):
+                blk = coefarr[by, bx]
+                if ah == 0:
+                    _encode_ac_first(writer, ac_prog, blk, ss, se, al,
+                                     state)
+                else:
+                    _encode_ac_refine(writer, ac_prog, blk, ss, se, al,
+                                      state)
+        _flush_eobrun(writer, ac_prog, state)
+        writer.flush()
+        out += bytes(writer.out)
+
+    # The scan script (libjpeg's standard progressive script shape).
+    dc_scan(0, 1)
+    ac_scan(0, 1, 5, 0, 2)
+    if not gray:
+        ac_scan(1, 1, 63, 0, 1)
+        ac_scan(2, 1, 63, 0, 1)
+    ac_scan(0, 6, 63, 0, 2)
+    ac_scan(0, 1, 63, 2, 1)
+    dc_scan(1, 0)
+    if not gray:
+        ac_scan(1, 1, 63, 1, 0)
+        ac_scan(2, 1, 63, 1, 0)
+    ac_scan(0, 1, 63, 1, 0)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

@@ -69,7 +69,8 @@ PAYLOADS_SCHEMA = StructType([
 
 def _payloads_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from html_parser_spark.functions.mediaops import (
-        encode_bmp, encode_gif, encode_jpeg, encode_png, encode_wav)
+        encode_bmp, encode_gif, encode_jpeg, encode_jpeg_progressive,
+        encode_png, encode_wav)
     for b in batches:
         ids, fmts, payloads = [], [], []
         for did in b["doc_id"].tolist():
@@ -99,7 +100,15 @@ def _payloads_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 # quality 95 keeps the DC quantization step at 2, so a
                 # solid block's round-trip error is < 0.5 and the decoded
                 # color is bit-exact (test_codecs.py pins the property).
-                payloads.append(encode_jpeg(pixels, quality=95))
+                # Half the JPEG rows (did % 8 == 5) are PROGRESSIVE
+                # (SOF2) — real crawls are majority-progressive, and the
+                # two encoders share quantized coefficients so the
+                # oracle's closed-form stats are unchanged.
+                if did % 8 == 5:
+                    payloads.append(
+                        encode_jpeg_progressive(pixels, quality=95))
+                else:
+                    payloads.append(encode_jpeg(pixels, quality=95))
             else:
                 fmts.append("gif")
                 payloads.append(encode_gif(pixels))

@@ -313,17 +313,109 @@ def test_jpeg_grayscale_single_component():
     assert worst <= 8, worst
 
 
-def test_jpeg_progressive_and_12bit_raise_typed():
+def test_jpeg_hierarchical_and_12bit_raise_typed():
     enc = bytearray(mediaops.encode_jpeg(_jpeg_gradient(16, 16)))
     i = enc.find(b"\xff\xc0")
-    prog = bytearray(enc)
-    prog[i + 1] = 0xC2  # SOF2: progressive
+    hier = bytearray(enc)
+    hier[i + 1] = 0xC5  # SOF5: hierarchical — still out of scope
     with pytest.raises(NotImplementedError):
-        mediaops.decode_image(bytes(prog))
+        mediaops.decode_image(bytes(hier))
     deep = bytearray(enc)
     deep[i + 4] = 12    # precision byte inside SOF0
     with pytest.raises(NotImplementedError):
         mediaops.decode_image(bytes(deep))
+
+
+def test_jpeg_sof2_with_baseline_scan_raises_valueerror():
+    # Flipping SOF0→SOF2 on a baseline stream yields a "progressive" file
+    # whose single scan claims the full 0..63 band for an interleaved
+    # scan — invalid under G.1 (DC scans must have Se=0) and rejected
+    # cleanly rather than mis-decoded.
+    enc = bytearray(mediaops.encode_jpeg(_jpeg_gradient(16, 16)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        mediaops.decode_image(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): spectral selection + successive approximation.
+# encode_jpeg_progressive shares _jpeg_precompute with the baseline
+# encoder, so both encodings carry IDENTICAL quantized coefficients — the
+# progressive decode must therefore be bit-identical to the baseline
+# decode, which pins every scan type (DC first/refine, AC first at two
+# shift levels, AC refinement chains, EOB runs, ZRL) against the already-
+# trusted sequential path.
+
+
+def _assert_progressive_matches_baseline(pixels, quality, subsample):
+    import numpy as np
+    base = mediaops.encode_jpeg(pixels, quality=quality,
+                                subsample=subsample)
+    prog = mediaops.encode_jpeg_progressive(pixels, quality=quality,
+                                            subsample=subsample)
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+    db = mediaops._decode_image_array(base)
+    dp = mediaops._decode_image_array(prog)
+    assert dp["width"] == db["width"] and dp["height"] == db["height"]
+    assert dp["mode"] == db["mode"]
+    assert np.array_equal(db["array"], dp["array"])
+
+
+@pytest.mark.parametrize("subsample", [(1, 1), (2, 2)])
+@pytest.mark.parametrize("quality", [40, 90])
+def test_jpeg_progressive_gradient_bit_matches_baseline(quality, subsample):
+    _assert_progressive_matches_baseline(
+        _jpeg_gradient(40, 24), quality, subsample)
+
+
+def test_jpeg_progressive_odd_dims_and_solid():
+    # Odd dims exercise the natural-vs-MCU-padded block grid split in
+    # non-interleaved AC scans; solid color exercises pure EOB-run scans.
+    grad = [[((x * 13) % 256, (y * 7) % 256, (x + y * 3) % 256)
+             for x in range(19)] for y in range(13)]
+    _assert_progressive_matches_baseline(grad, 85, (2, 2))
+    solid = [[(10, 200, 30)] * 24 for _ in range(16)]
+    _assert_progressive_matches_baseline(solid, 95, (1, 1))
+
+
+def test_jpeg_progressive_grayscale():
+    g = [[(x * 3 + y * 5) % 256 for x in range(30)] for y in range(22)]
+    _assert_progressive_matches_baseline(g, 90, (1, 1))
+
+
+def test_jpeg_progressive_noise_exercises_refinement():
+    # High-frequency noise maximizes newly-nonzero insertions and
+    # correction bits in the Al=2→1→0 luma refinement chain.
+    import numpy as np
+    rng = np.random.RandomState(7)
+    noise = [[tuple(int(v) for v in px) for px in row]
+             for row in rng.randint(0, 256, (24, 24, 3)).tolist()]
+    _assert_progressive_matches_baseline(noise, 75, (1, 1))
+    _assert_progressive_matches_baseline(noise, 95, (2, 2))
+
+
+def test_jpeg_progressive_large_smooth_accumulates_eob_runs():
+    # A large smooth image makes consecutive all-zero high bands, so the
+    # encoder accumulates multi-block EOB runs (EOBn, n > 0) — the decode
+    # side must honor runs spanning many blocks (and restart-free scans).
+    import math
+    w, h = 96, 64
+    px = [[(int(127 + 60 * math.sin(x / 17)),
+            int(127 + 60 * math.cos(y / 13)),
+            128) for x in range(w)] for y in range(h)]
+    _assert_progressive_matches_baseline(px, 90, (2, 2))
+
+
+def test_jpeg_progressive_resize_and_dimensions():
+    prog = mediaops.encode_jpeg_progressive(_jpeg_gradient(32, 16),
+                                            quality=90)
+    dims = mediaops.image_dimensions(prog)
+    assert dims == {"format": "jpeg", "width": 32, "height": 16}
+    out = mediaops.resize_image(prog, 16, 8)
+    assert mediaops.image_dimensions(out)["format"] == "jpeg"
+    d = mediaops.decode_image(out)
+    assert (d["width"], d["height"]) == (16, 8)
 
 
 def test_jpeg_truncated_stream_raises_valueerror():
