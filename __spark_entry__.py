@@ -623,7 +623,10 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
-    return (vecops.lsh_bucketed_topk(q, emb, k=5)
+    # broadcast_queries pinned True: a 5-row point lookup is the broadcast
+    # shape by construction, and pinning skips the auto limit-count probe
+    # so the benched plan stays identical to r4's.
+    return (vecops.lsh_bucketed_topk(q, emb, k=5, broadcast_queries=True)
             .select("query_id", "neighbor_id", "rank"))
 
 
