@@ -343,7 +343,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 def dedup_clusters(docs: DataFrame, edges: DataFrame | None = None,
                    id_col: str = "doc_id", text_col: str = "text",
                    min_est_jaccard: float = 0.5,
-                   max_iter: int = 25) -> DataFrame:
+                   max_iter: int = 25,
+                   stats: dict | None = None) -> DataFrame:
     """Connected components over near-duplicate PAIRS → the dedup decision.
 
     Every pair family here (:func:`minhash_lsh_pairs`, :func:`simhash_pairs`,
@@ -380,6 +381,12 @@ def dedup_clusters(docs: DataFrame, edges: DataFrame | None = None,
     ``edges``: optional (doc_a, doc_b) DataFrame to cluster an external
     pair source (e.g. ``simhash_pairs`` output); default derives edges
     from :func:`minhash_lsh_pairs` at ``min_est_jaccard``.
+
+    ``stats``: optional dict the fixpoint records observability into —
+    ``rounds`` (label-propagation iterations run, incl. the final
+    no-change round) and ``edge_rows`` (symmetrized adjacency size: the
+    upper bound on every per-round shuffle's row count). The mega-cluster
+    stress test pins both (VERDICT r4 task 7).
     """
     if edges is None:
         edges = (minhash_lsh_pairs(docs, id_col, text_col)
@@ -407,6 +414,7 @@ def dedup_clusters(docs: DataFrame, edges: DataFrame | None = None,
     # magnitude sum to ~10²⁴; a wrapped int64 could alias two states).
     _lsum = F.sum(F.col("lbl").cast("decimal(38,0)"))
     prev_sum = labels.agg(_lsum).collect()[0][0]
+    rounds = 0
     for _ in range(max_iter):
         nbr = (adj.join(labels, adj.dst == labels.doc_id)
                .groupBy("src").agg(F.min("lbl").alias("nlbl")))
@@ -428,9 +436,15 @@ def dedup_clusters(docs: DataFrame, edges: DataFrame | None = None,
         # labels, and a truncated checkpoint cannot recompute.
         cacheutil.release_local_checkpoint(labels)
         labels = new_labels
+        rounds += 1
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    if stats is not None:
+        stats["rounds"] = rounds
+        # adj is symmetrized (2x |edges|) and bounds every per-round
+        # shuffle's input rows; count is free here — adj is checkpointed.
+        stats["edge_rows"] = adj.count()
     cacheutil.release_local_checkpoint(adj)  # not in the returned plan
     full = (docs.select(F.col(id_col).alias("doc_id"))
             .join(labels, "doc_id", "left")

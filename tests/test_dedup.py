@@ -656,3 +656,55 @@ def test_lsh_bucket_ragged_first_row_keeps_valid_rows(spark):
                                  "out_id", "out_vec", "out_norm").collect()
     assert {int(r.out_id) for r in got} == set(range(1, 10))
     assert all(len(r.out_vec) == 64 for r in got)
+
+
+def test_mega_cluster_linear_members_and_bounded_cc(spark):
+    """Skewed mega-cluster stress (VERDICT r4 task 7): a ~10k-member
+    byte-identical duplicate cluster — the worst skew a boilerplate-heavy
+    crawl produces — must stay LINEAR end-to-end:
+
+    - ``simhash_pairs(emit='members')`` emits exactly cluster_size - 1
+      rows for the cluster (pairs mode would be ~50M rows here; the
+      distinct-signature collapse + keyed re-expansion is the contract),
+    - ``dedup_clusters`` over those edges converges in ≤ 3 label rounds
+      (star edges from a rep converge immediately; pointer jumping
+      bounds chains at O(log k)), with per-round shuffle input bounded
+      by the symmetrized edge count, not corpus size,
+    - the reconstructed cluster is exact: size 10_000, keeper = min id.
+    """
+    n_dup, n_bg = 10_000, 2_000
+    dup_text = ("the same duplicated boilerplate page body repeated "
+                "verbatim across the whole crawl partition")
+    docs = spark.range(n_dup + n_bg).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_dup, F.lit(dup_text)).otherwise(
+            # three unique hex tokens per background doc keep their
+            # signatures spread (shared filler words would near-dup them)
+            F.concat_ws(" ",
+                        F.md5(F.col("id").cast("string")),
+                        F.md5((F.col("id") + 1_000_000).cast("string")),
+                        F.md5((F.col("id") * 3 + 7).cast("string")))
+        ).alias("text"))
+    members = dedup.simhash_pairs(docs, emit="members")
+    rows = members.collect()
+    # Linear contract: the mega-cluster contributes exactly n_dup - 1
+    # (rep, member, 0) rows; only signature-level edges may add more.
+    cluster_rows = [r for r in rows
+                    if r.representative == 0 and r.hamming == 0]
+    assert len(cluster_rows) == n_dup - 1
+    assert len(rows) < n_dup + n_bg, (
+        f"{len(rows)} member rows — not linear in corpus size")
+
+    stats: dict = {}
+    clusters = dedup.dedup_clusters(
+        docs,
+        edges=members.select(F.col("representative").alias("doc_a"),
+                             F.col("member").alias("doc_b")),
+        stats=stats)
+    agg = {(int(r.cluster_id), int(r.cluster_size))
+           for r in clusters.where(F.col("doc_id") < n_dup).collect()}
+    assert agg == {(0, n_dup)}
+    keepers = clusters.where("is_keeper AND cluster_size > 1").collect()
+    assert {int(r.doc_id) for r in keepers} >= {0}
+    assert stats["rounds"] <= 3, stats
+    assert stats["edge_rows"] <= 2 * len(rows), stats
