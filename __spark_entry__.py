@@ -28,7 +28,7 @@ from html_parser_spark.functions import (
     corpusstats, dedup, eventops, mediaops, packing, pii, textops, vecops)
 from html_parser_spark.job import pipeline as P
 from html_parser_spark.sources.media import (
-    media_from_documents, media_payloads)
+    media_from_documents, media_meta_payloads, media_payloads)
 from html_parser_spark.sources import synth as _synth
 from html_parser_spark.sources.synth import PROFILES as _SYNTH_PROFILES
 
@@ -678,6 +678,20 @@ def _q_media_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mediaops.thumbnail_features(media_payloads(docs))
 
 
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only metadata triage driver-gated (VERDICT r4 task 8):
+    generate real MP3 frame chains (half behind ID3v2 tags), minimal
+    valid MP4 boxes, and PCM WAV, then walk ONLY their headers — the
+    DuckDB twin recomputes duration/bitrate/dims/sample-rate from doc_id
+    in closed form, so a frame-size miscount, box-offset slip, or
+    syncsafe-ID3 bug is a value-hash mismatch. Both stages map-only;
+    payload bytes never enter an Exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    return (mediaops.media_meta_features(media_meta_payloads(docs))
+            .withColumn("duration_ms", F.round("duration_ms", 6))
+            .withColumn("bitrate_kbps", F.round("bitrate_kbps", 6)))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
@@ -741,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
         "media_thumbs": _q_media_thumbs,
+        "media_meta": _q_media_meta,
     }
 
 
@@ -1812,6 +1827,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
             FROM documents
             WHERE doc_id % 4 <> 3
+        """,
+        "media_meta": """
+            SELECT doc_id AS media_id,
+                   'ok' AS status,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp4'
+                        ELSE 'wav' END AS fmt,
+                   ROUND(CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN (1 + doc_id % 8) * 1152.0 * 1000
+                                    / 44100
+                        WHEN 1 THEN CAST(250 * (doc_id % 240 + 1)
+                                         AS DOUBLE)
+                        ELSE 10.0 END, 6) AS duration_ms,
+                   ROUND(CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN CAST(([32,40,48,56,64,80,96,112,128,
+                                           160,192,224,256,320])
+                                    [CAST(doc_id % 14 AS INT) + 1]
+                                    AS DOUBLE)
+                        WHEN 2 THEN 256.0
+                        ELSE NULL END, 6) AS bitrate_kbps,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 44100 WHEN 2 THEN 16000
+                        ELSE NULL END AS sample_rate,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 1 WHEN 2 THEN 1
+                        ELSE NULL END AS channels,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 1 THEN CAST(16 * (doc_id % 64 + 1) AS INT)
+                        ELSE NULL END AS width,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 1 THEN CAST(16 * (doc_id % 48 + 1) AS INT)
+                        ELSE NULL END AS height
+            FROM documents
         """,
         "ann_lsh_topk": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -23,7 +23,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["MEDIA_KINDS", "media_from_documents", "media_payloads",
-           "PAYLOADS_SCHEMA"]
+           "media_meta_payloads", "PAYLOADS_SCHEMA"]
 
 MEDIA_KINDS = ["image", "audio", "video"]
 
@@ -114,6 +114,51 @@ def _payloads_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 payloads.append(encode_gif(pixels))
         yield pd.DataFrame({"media_id": ids, "fmt": fmts,
                             "payload": payloads})
+
+
+def _meta_payloads_batch(batches: Iterator[pd.DataFrame]
+                         ) -> Iterator[pd.DataFrame]:
+    from html_parser_spark.functions.mediaops import (
+        _MP3_BITRATES, encode_mp3, encode_mp4, encode_wav)
+    for b in batches:
+        ids, fmts, payloads = [], [], []
+        for did in b["doc_id"].tolist():
+            did = int(did)
+            ids.append(did)
+            r = did % 3
+            if r == 0:
+                fmts.append("mp3")
+                payloads.append(encode_mp3(
+                    n_frames=1 + did % 8,
+                    bitrate_kbps=_MP3_BITRATES[1 + did % 14],
+                    sample_rate=44100,
+                    # Half the MP3 rows carry an ID3v2 tag the header
+                    # walk must skip; the tag size varies but never
+                    # reaches the oracle (metadata is tag-independent).
+                    id3_size=(did % 100 + 10) if did % 2 == 0 else 0))
+            elif r == 1:
+                fmts.append("mp4")
+                payloads.append(encode_mp4(
+                    width=16 * (did % 64 + 1),
+                    height=16 * (did % 48 + 1),
+                    duration_ms=250 * (did % 240 + 1)))
+            else:
+                fmts.append("wav")
+                payloads.append(encode_wav([did % 1000] * 160,
+                                           sample_rate=16000))
+        yield pd.DataFrame({"media_id": ids, "fmt": fmts,
+                            "payload": payloads})
+
+
+def media_meta_payloads(docs: DataFrame) -> DataFrame:
+    """Audio/video-container media table for the header-only metadata
+    tier: real MPEG-1 Layer III CBR framing (optionally ID3v2-tagged),
+    minimal valid ISO-BMFF (ftyp+moov+mdat), and PCM WAV — every header
+    field a closed form of ``doc_id`` so the DuckDB oracle recomputes
+    duration/bitrate/dims/sample-rate that a correct header walk must
+    yield. Map-only, same shape as :func:`media_payloads`."""
+    return docs.select("doc_id").mapInPandas(
+        _meta_payloads_batch, PAYLOADS_SCHEMA)
 
 
 def media_payloads(docs: DataFrame) -> DataFrame:

@@ -217,3 +217,102 @@ def test_decode_stats_grayscale_jpeg(spark):
     assert rows[1].status == "ok" and rows[2].status == "ok"
     assert rows[1].mean_r == rows[1].mean_g == rows[1].mean_b == 128.0
     assert rows[2].mean_r == 64.0 and rows[2].width == 2
+
+
+# ---------------------------------------------------------------------------
+# Header-only metadata tier (MP3 / MP4 / WAV — VERDICT r4 task 8)
+
+
+def test_mp3_metadata_roundtrip_and_id3_skip():
+    from html_parser_spark.functions import mediaops as M
+    p = M.encode_mp3(5, bitrate_kbps=128, sample_rate=44100, id3_size=37)
+    m = M.media_metadata(p)
+    assert m["format"] == "mp3" and m["n_frames"] == 5
+    assert m["bitrate_kbps"] == 128.0 and m["sample_rate"] == 44100
+    assert abs(m["duration_ms"] - 5 * 1152 * 1000 / 44100) < 1e-9
+    # no tag → same metadata
+    assert M.media_metadata(M.encode_mp3(5, 128))["duration_ms"] == \
+        m["duration_ms"]
+    # trailing ID3v1 tag after the last frame must not add frames
+    assert M.media_metadata(
+        M.encode_mp3(3, 192, 48000) + b"TAG" + bytes(125))["n_frames"] == 3
+
+
+def test_mp3_metadata_vbr_exact_duration():
+    """Frames at different bitrates: duration sums per frame (exact for
+    VBR), bitrate reports the mean."""
+    from html_parser_spark.functions import mediaops as M
+    p = M.encode_mp3(2, 64) + M.encode_mp3(2, 320)
+    m = M.media_metadata(p)
+    assert m["n_frames"] == 4
+    assert m["bitrate_kbps"] == (64 + 64 + 320 + 320) / 4
+    assert abs(m["duration_ms"] - 4 * 1152 * 1000 / 44100) < 1e-9
+
+
+def test_mp3_metadata_rejects_malformed():
+    from html_parser_spark.functions import mediaops as M
+    with pytest.raises(ValueError):
+        M.mp3_metadata(b"\x00" * 32)                # no sync
+    with pytest.raises(NotImplementedError):
+        # sync with MPEG-2 version bits (0xF2 = version 10, layer III)
+        M.mp3_metadata(bytes((0xFF, 0xF2, 0x90, 0xC0)) + bytes(100))
+    with pytest.raises(ValueError):
+        # bitrate index 15 is forbidden
+        M.mp3_metadata(bytes((0xFF, 0xFB, 0xF0, 0xC0)) + bytes(100))
+
+
+def test_mp4_metadata_roundtrip():
+    from html_parser_spark.functions import mediaops as M
+    p = M.encode_mp4(640, 360, 12345)
+    assert M.media_metadata(p) == {
+        "format": "mp4", "duration_ms": 12345.0,
+        "width": 640, "height": 360, "n_tracks": 1}
+    with pytest.raises(ValueError):
+        M.mp4_metadata(b"\x00\x00\x00\x08free")     # no ftyp
+    # ftyp but no moov
+    with pytest.raises(ValueError):
+        M.mp4_metadata(M.encode_mp4(64, 64, 1000)[:24])
+
+
+def test_mp4_metadata_version1_boxes():
+    """64-bit mvhd/tkhd (version 1) layouts parse to the same values."""
+    import struct
+    from html_parser_spark.functions import mediaops as M
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ts, dur = 1000, 4500
+    mvhd = box(b"mvhd", bytes((1, 0, 0, 0)) + struct.pack(">QQ", 0, 0)
+               + struct.pack(">I", ts) + struct.pack(">Q", dur)
+               + bytes(80))
+    tkhd = box(b"tkhd", bytes((1, 0, 0, 7)) + struct.pack(">QQ", 0, 0)
+               + struct.pack(">I", 1) + bytes(4) + struct.pack(">Q", dur)
+               + bytes(8) + bytes(8) + struct.pack(">9I", *([0] * 9))
+               + struct.pack(">II", 320 << 16, 240 << 16))
+    raw = (box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+           + box(b"moov", mvhd + box(b"trak", tkhd)))
+    m = M.mp4_metadata(raw)
+    assert m["duration_ms"] == 4500.0
+    assert (m["width"], m["height"]) == (320, 240)
+
+
+def test_media_meta_kernel_never_fails(spark):
+    """Junk/truncated/unknown payloads must land as error rows."""
+    from html_parser_spark.functions import mediaops as M
+    rows = [
+        (0, M.encode_mp3(2, 128)),
+        (1, M.encode_mp4(64, 64, 1000)),
+        (2, M.encode_wav([5] * 16, sample_rate=16000)),
+        (3, b"\x00\x01junkjunkjunk"),               # unknown magic
+        (4, M.encode_mp4(64, 64, 1000)[:20]),       # truncated mp4
+        (5, None),                                   # NULL payload
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in M.media_meta_features(df).collect()}
+    assert got[0].status == "ok" and got[0].fmt == "mp3"
+    assert got[1].status == "ok" and got[1].width == 64
+    assert got[2].status == "ok" and got[2].sample_rate == 16000
+    assert got[3].status == "error:NotImplementedError"
+    assert got[4].status.startswith("error:")
+    assert got[5].status.startswith("error:")

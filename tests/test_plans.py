@@ -402,6 +402,16 @@ def test_media_thumbs_is_map_only(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_media_meta_is_map_only_and_pruned(spark):
+    """Header-only metadata triage (generate → header walk): map-only
+    like the decode pass, and the documents scan reads only doc_id."""
+    df = E.queries()["media_meta"](spark, SF)
+    plan = A.formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    cols = A.read_schema_columns(df)
+    assert cols == ["doc_id"], cols
+
+
 def test_swap_persist_bounds_live_caches(spark):
     """Operator-internal persists must not accumulate across calls: the
     second swap_persist under the same key unpersists the first."""
