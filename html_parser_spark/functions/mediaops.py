@@ -1325,6 +1325,15 @@ def encode_jpeg_progressive(pixels: list, quality: int = 90,
         for by in range(nbh):
             for bx in range(nbw):
                 blk = coefarr[by, bx]
+                # All-zero band → one EOB-run increment either way (first
+                # scan: no magnitudes; refine: no history, no new bits).
+                # Flat regions dominate real photos and the solid-color
+                # bench payloads are 100% this case.
+                if not blk[ss:se + 1].any():
+                    state.eobrun += 1
+                    if state.eobrun == 0x7FFF:
+                        _flush_eobrun(writer, ac_prog, state)
+                    continue
                 if ah == 0:
                     _encode_ac_first(writer, ac_prog, blk, ss, se, al,
                                      state)
