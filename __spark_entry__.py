@@ -692,6 +692,35 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("bitrate_kbps", F.round("bitrate_kbps", 6)))
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container round-trip driver-gated: build Common-Crawl-layout
+    .warc.gz blobs (WARC/1.0 response records, one gzip member each)
+    whose record bodies are closed forms of doc_id, then parse them back
+    with the full WARC/HTTP reader (sources/warc.py) and emit per-record
+    facts the DuckDB twin recomputes — a Content-Length slip, gzip
+    member-boundary bug, or header-split error is a value-hash mismatch.
+    Both stages map-only mapInPandas; blob bytes never enter an
+    Exchange."""
+    from html_parser_spark.sources import warc as warcmod
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = F.concat(
+        F.lit("<html><body>"),
+        F.repeat(F.md5(F.encode(did.cast("string"), "utf-8")),
+                 (did % 4 + 1).cast("int")),
+        F.lit("</body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("https://warc.test/doc/"),
+                 did.cast("string")).alias("url"),
+        F.encode(body, "utf-8").alias("html"))
+    parsed = warcmod.pages_from_warc_blobs(
+        warcmod.warc_blobs_from_pages(pages))
+    return parsed.select(
+        "url", "warc_date", "http_status", "content_type",
+        F.length("html").cast("int").alias("n_bytes"),
+        F.md5("html").alias("body_md5"))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
@@ -756,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "media_thumbs": _q_media_thumbs,
         "media_meta": _q_media_meta,
+        "warc_roundtrip": _q_warc_roundtrip,
     }
 
 
@@ -1827,6 +1857,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
             FROM documents
             WHERE doc_id % 4 <> 3
+        """,
+        "warc_roundtrip": """
+            SELECT 'https://warc.test/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   '2026-01-01T00:00:00Z' AS warc_date,
+                   CAST(200 AS INT) AS http_status,
+                   'text/html; charset=utf-8' AS content_type,
+                   CAST(26 + 32 * (1 + doc_id % 4) AS INT) AS n_bytes,
+                   md5('<html><body>'
+                       || repeat(md5(CAST(doc_id AS VARCHAR)),
+                                 CAST(1 + doc_id % 4 AS INT))
+                       || '</body></html>') AS body_md5
+            FROM documents
         """,
         "media_meta": """
             SELECT doc_id AS media_id,

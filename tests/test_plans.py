@@ -412,6 +412,18 @@ def test_media_meta_is_map_only_and_pruned(spark):
     assert cols == ["doc_id"], cols
 
 
+def test_warc_roundtrip_is_map_only_and_pruned(spark):
+    """WARC write→parse composition: blob bytes must never cross an
+    Exchange (per-member gzip makes the container splittable, so a 100 TB
+    crawl read is embarrassingly parallel) and the documents scan reads
+    only doc_id."""
+    df = E.queries()["warc_roundtrip"](spark, SF)
+    plan = A.formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    cols = A.read_schema_columns(df)
+    assert cols == ["doc_id"], cols
+
+
 def test_swap_persist_bounds_live_caches(spark):
     """Operator-internal persists must not accumulate across calls: the
     second swap_persist under the same key unpersists the first."""
