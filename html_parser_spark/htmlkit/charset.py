@@ -1,0 +1,100 @@
+"""Charset sniffing for crawl page bytes (WHATWG encoding-standard order,
+simplified): BOM → in-document ``<meta charset>`` declaration → strict
+UTF-8 probe → windows-1252 fallback.
+
+Real Common-Crawl HTML is not all UTF-8 — legacy pages are mostly
+windows-1252 (or mislabeled latin-1, which WHATWG maps to 1252 for
+exactly that reason) and CJK pages declare their charset in a meta tag.
+The previous ``decode("utf-8", errors="replace")`` turned every such
+byte into U+FFFD, which breaks the byte-identical extracted-text
+contract on anything non-UTF-8. windows-1252 never fails (every byte is
+mapped), so the fallback chain is total: ``sniff_decode`` always returns
+text, never raises.
+
+Reference: the WHATWG "Encoding" standard's label table and the HTML
+standard's encoding sniffing algorithm (public specs); only the subset a
+batch extractor needs — no transport (HTTP header) layer here, callers
+that have one should decode upstream.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+
+__all__ = ["sniff_decode", "sniff_encoding", "normalize_label"]
+
+# WHATWG maps the whole latin-1 family to windows-1252 (superset on the
+# 0x80-0x9F range real pages actually use for smart quotes etc.).
+_LABEL_MAP = {
+    "latin1": "cp1252", "latin-1": "cp1252", "iso-8859-1": "cp1252",
+    "iso8859-1": "cp1252", "us-ascii": "cp1252", "ascii": "cp1252",
+    "windows-1252": "cp1252", "cp1252": "cp1252", "ansi_x3.4-1968":
+    "cp1252",
+    "utf8": "utf-8", "utf-8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "gb2312": "gbk", "gb_2312": "gbk", "gbk": "gbk", "csgb2312": "gbk",
+    "shift-jis": "shift_jis", "shift_jis": "shift_jis", "sjis":
+    "shift_jis", "ms_kanji": "shift_jis",
+    "euc-jp": "euc_jp", "euc-kr": "euc_kr", "ks_c_5601-1987": "euc_kr",
+    "big5": "big5", "big5-hkscs": "big5hkscs",
+}
+
+_META_RE = re.compile(
+    rb"""<meta[^>]+?(?:
+        charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]+)
+        |
+        content\s*=\s*["'][^"']*charset\s*=\s*([a-zA-Z0-9._:-]+)
+    )""", re.IGNORECASE | re.VERBOSE)
+
+
+def normalize_label(label: str) -> str | None:
+    """WHATWG label → Python codec name; None for labels Python can't
+    decode (caller falls through to the probe chain)."""
+    name = _LABEL_MAP.get(label.strip().lower(), label.strip().lower())
+    try:
+        codecs.lookup(name)
+    except LookupError:
+        return None
+    return name
+
+
+def sniff_encoding(raw: bytes) -> tuple[str, int]:
+    """(codec name, BOM length). Order: BOM > meta declaration in the
+    first 1024 bytes > strict-UTF-8 probe > windows-1252."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8", 3
+    if raw[:2] == b"\xff\xfe":
+        return "utf-16-le", 2
+    if raw[:2] == b"\xfe\xff":
+        return "utf-16-be", 2
+    m = _META_RE.search(raw[:1024])
+    if m:
+        label = (m.group(1) or m.group(2)).decode("ascii", "ignore")
+        # A meta claiming UTF-16 on a byte stream we can scan is lying
+        # (WHATWG: treat as UTF-8).
+        if label.lower().startswith("utf-16"):
+            return "utf-8", 0
+        enc = normalize_label(label)
+        if enc is not None:
+            return enc, 0
+    try:
+        raw.decode("utf-8", errors="strict")
+        return "utf-8", 0
+    except UnicodeDecodeError:
+        return "cp1252", 0
+
+
+def sniff_decode(raw: bytes) -> tuple[str, str]:
+    """Decode page bytes to text: (text, codec used). Total — decode
+    errors under a (possibly lying) declared charset degrade per-byte
+    rather than raising, and cp1252's two unmapped bytes fall back to
+    latin-1 semantics via errors='replace' only on the declared path."""
+    raw = bytes(raw)
+    enc, bom = sniff_encoding(raw)
+    body = raw[bom:]
+    try:
+        return body.decode(enc), enc
+    except (UnicodeDecodeError, ValueError):
+        # declared charset lied about the bytes — salvage per WHATWG
+        # error mode "replacement" rather than failing the record
+        return body.decode(enc, errors="replace"), enc

@@ -142,7 +142,11 @@ def _extract_one_inner(url: str, html_bytes: Optional[bytes]) -> dict:
             out["error"] = f"pdf: {e}"
         return out
     try:
-        html = bytes(html_bytes).decode("utf-8", errors="replace")
+        # WHATWG sniff (BOM > meta charset > UTF-8 probe > cp1252): real
+        # crawls are not all UTF-8, and errors="replace" on a legacy page
+        # would break the byte-identical extracted-text contract.
+        from ..htmlkit.charset import sniff_decode
+        html, _enc = sniff_decode(bytes(html_bytes))
         dom = tokenize(html)
         out["n_nodes"] = len(dom)
         # One traversal for both outputs (equivalent to extract_text +
