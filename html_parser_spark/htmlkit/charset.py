@@ -58,9 +58,9 @@ def normalize_label(label: str) -> str | None:
     return name
 
 
-def sniff_encoding(raw: bytes) -> tuple[str, int]:
-    """(codec name, BOM length). Order: BOM > meta declaration in the
-    first 1024 bytes > strict-UTF-8 probe > windows-1252."""
+def _declared_encoding(raw: bytes) -> tuple[str | None, int]:
+    """Cheap header-only declaration check: (codec, BOM length), or
+    (None, 0) when nothing is declared and the probe chain decides."""
     if raw[:3] == b"\xef\xbb\xbf":
         return "utf-8", 3
     if raw[:2] == b"\xff\xfe":
@@ -77,6 +77,15 @@ def sniff_encoding(raw: bytes) -> tuple[str, int]:
         enc = normalize_label(label)
         if enc is not None:
             return enc, 0
+    return None, 0
+
+
+def sniff_encoding(raw: bytes) -> tuple[str, int]:
+    """(codec name, BOM length). Order: BOM > meta declaration in the
+    first 1024 bytes > strict-UTF-8 probe > windows-1252."""
+    enc, bom = _declared_encoding(raw)
+    if enc is not None:
+        return enc, bom
     try:
         raw.decode("utf-8", errors="strict")
         return "utf-8", 0
@@ -87,10 +96,16 @@ def sniff_encoding(raw: bytes) -> tuple[str, int]:
 def sniff_decode(raw: bytes) -> tuple[str, str]:
     """Decode page bytes to text: (text, codec used). Total — decode
     errors under a (possibly lying) declared charset degrade per-byte
-    rather than raising, and cp1252's two unmapped bytes fall back to
-    latin-1 semantics via errors='replace' only on the declared path."""
+    rather than raising. Hot-path shape: the dominant case (unlabeled
+    valid UTF-8) is ONE strict decode — the probe's success IS the
+    decode, so the kernel never pays a second pass per page."""
     raw = bytes(raw)
-    enc, bom = sniff_encoding(raw)
+    enc, bom = _declared_encoding(raw)
+    if enc is None:
+        try:
+            return raw.decode("utf-8"), "utf-8"
+        except UnicodeDecodeError:
+            return raw.decode("cp1252"), "cp1252"
     body = raw[bom:]
     try:
         return body.decode(enc), enc
