@@ -1726,12 +1726,16 @@ def mp3_metadata(raw: bytes) -> dict:
         version = (b1 >> 3) & 0x03   # 3 = MPEG-1
         layer = (b1 >> 1) & 0x03     # 1 = Layer III
         if version != 3 or layer != 1:
+            if n_frames:
+                break  # false sync in trailing garbage — keep good frames
             raise NotImplementedError(
                 f"only MPEG-1 Layer III supported (version bits "
                 f"{version}, layer bits {layer})")
         br_idx = b2 >> 4
         sr_idx = (b2 >> 2) & 0x03
         if br_idx in (0, 15) or sr_idx == 3:
+            if n_frames:
+                break  # ditto: junk that happened to carry sync bits
             raise ValueError("invalid MP3 bitrate/sample-rate index")
         padding = (b2 >> 1) & 0x01
         bitrate = _MP3_BITRATES[br_idx]
@@ -1766,6 +1770,10 @@ def _mp4_boxes(raw: bytes, start: int, end: int):
             if pos + 16 > end:
                 raise ValueError("truncated MP4 largesize box")
             size = struct.unpack_from(">Q", raw, pos + 8)[0]
+            if size < 16:
+                # size must cover its own 16-byte header or the walk
+                # would loop forever on the same corrupt box
+                raise ValueError(f"MP4 largesize {size} < 16")
             yield btype, pos + 16, pos + size
         elif size == 0:
             yield btype, pos + 8, end

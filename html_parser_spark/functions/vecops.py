@@ -330,9 +330,13 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     c = _assign_buckets(corpus, n_bits, id_col, vec_col,
                         "neighbor_id", "c_vec", "c_norm")
     if broadcast_queries is None:
-        broadcast_queries = (
-            queries.limit(broadcast_threshold + 1).count()
-            <= broadcast_threshold)
+        # The broadcast side is the PROBE-EXPLODED frame (n_probes rows
+        # per query, each carrying the full vector), so the threshold
+        # must bound rows-after-explosion or the OOM guard is n_probes
+        # times looser than stated.
+        eff = max(1, broadcast_threshold // max(1, min(n_probes,
+                                                       n_bits + 1)))
+        broadcast_queries = queries.limit(eff + 1).count() <= eff
     # broadcast_queries=False is an explicit "this side won't fit in one
     # executor" contract, so the shuffle join is forced with a hint:
     # Catalyst sizes a mapInPandas output from its (tiny) parquet leaf

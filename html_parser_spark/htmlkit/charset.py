@@ -49,13 +49,18 @@ _META_RE = re.compile(
 
 def normalize_label(label: str) -> str | None:
     """WHATWG label → Python codec name; None for labels Python can't
-    decode (caller falls through to the probe chain)."""
+    decode AS TEXT (caller falls through to the probe chain). The
+    as-text probe matters: ``codecs.lookup`` also resolves bytes-to-
+    bytes transforms (hex, base64, zlib, rot13 …), and a page declaring
+    ``<meta charset=hex>`` must not crash the decode with LookupError."""
     name = _LABEL_MAP.get(label.strip().lower(), label.strip().lower())
     try:
-        codecs.lookup(name)
+        info = codecs.lookup(name)
     except LookupError:
         return None
-    return name
+    if not getattr(info, "_is_text_encoding", True):
+        return None  # hex/base64/zlib/rot13 resolve but can't decode text
+    return info.name  # canonical ('utf-16', 'cp1252', …) — see caller
 
 
 def _declared_encoding(raw: bytes) -> tuple[str | None, int]:
@@ -70,12 +75,15 @@ def _declared_encoding(raw: bytes) -> tuple[str | None, int]:
     m = _META_RE.search(raw[:1024])
     if m:
         label = (m.group(1) or m.group(2)).decode("ascii", "ignore")
-        # A meta claiming UTF-16 on a byte stream we can scan is lying
-        # (WHATWG: treat as UTF-8).
-        if label.lower().startswith("utf-16"):
-            return "utf-8", 0
         enc = normalize_label(label)
         if enc is not None:
+            # A meta claiming UTF-16/32 on a byte stream whose ASCII we
+            # just scanned is lying (WHATWG: treat as UTF-8). The check
+            # runs on the canonical codec name normalize_label returns,
+            # so Python alias spellings ("utf16", "utf_16_le") can't
+            # slip through and silently mojibake the page.
+            if enc.startswith(("utf-16", "utf-32")):
+                return "utf-8", 0
             return enc, 0
     return None, 0
 

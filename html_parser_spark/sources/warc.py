@@ -94,7 +94,12 @@ def _split_gzip_members(raw: bytes) -> Iterator[bytes]:
     rest = raw
     while rest:
         d = zlib.decompressobj(wbits=31)
-        out = d.decompress(rest)
+        try:
+            out = d.decompress(rest)
+        except zlib.error as e:
+            # zlib.error is NOT a ValueError — normalize so the batch
+            # kernel's never-fail contract holds for bit-rotted blobs
+            raise ValueError(f"corrupt gzip member in WARC stream: {e}")
         if not d.eof:
             raise ValueError("truncated gzip member in WARC stream")
         yield out + d.flush()

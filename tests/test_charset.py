@@ -89,3 +89,25 @@ def test_extraction_decodes_legacy_page(spark):
     assert row.status in ("ok", "no_rule")
     assert "café" in row.text and "“Les Amis”" in row.text
     assert "�" not in row.text
+
+
+def test_non_text_codec_labels_fall_through():
+    """codecs.lookup resolves bytes-to-bytes transforms (hex, base64,
+    rot13, zlib); a page declaring one must not raise LookupError — it
+    falls through to the probe chain."""
+    assert normalize_label("hex") is None
+    assert normalize_label("base64") is None
+    assert normalize_label("rot13") is None
+    text, enc = sniff_decode(b'<meta charset=hex>plain body')
+    assert enc == "utf-8" and "plain body" in text
+
+
+def test_utf16_python_aliases_also_treated_as_lying():
+    """'utf16'/'utf_16_le'/'unicode' resolve to UTF-16 codecs in Python;
+    the lying-meta rule must fire on the RESOLVED name, not the label
+    spelling, or the page decodes to CJK mojibake."""
+    for label in ("utf16", "utf_16", "UTF-16LE", "unicode"):
+        page = f'<meta charset={label}>ascii body here'.encode()
+        text, enc = sniff_decode(page)
+        assert enc == "utf-8", (label, enc)
+        assert "ascii body here" in text

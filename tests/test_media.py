@@ -316,3 +316,34 @@ def test_media_meta_kernel_never_fails(spark):
     assert got[3].status == "error:NotImplementedError"
     assert got[4].status.startswith("error:")
     assert got[5].status.startswith("error:")
+
+
+def test_mp4_corrupt_largesize_raises_not_hangs():
+    """A box with size==1 and largesize < 16 must raise, not loop: the
+    never-fail batch kernel can catch an error but not a hang."""
+    import struct
+    from html_parser_spark.functions import mediaops as M
+    # size==1, largesize=0: without the guard, pos += 0 loops forever
+    evil = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 0) + bytes(8)
+    with pytest.raises(ValueError, match="largesize"):
+        list(M._mp4_boxes(evil, 0, len(evil)))
+    # same corrupt box after a valid ftyp, through the public API
+    ftyp = M.encode_mp4(64, 64, 1000)[:24]
+    with pytest.raises(ValueError):
+        M.mp4_metadata(ftyp + evil)
+
+
+def test_mp3_trailing_false_sync_keeps_good_frames():
+    """Junk after the last frame that happens to carry sync bits (wrong
+    version/layer, or bad bitrate index) must not void the whole file."""
+    from html_parser_spark.functions import mediaops as M
+    base = M.encode_mp3(3, 128)
+    # 0xFF 0xE2: sync + MPEG-2.5 version bits — false sync
+    assert M.mp3_metadata(base + bytes((0xFF, 0xE2)) + bytes(30)
+                          )["n_frames"] == 3
+    # 0xFF 0xFB 0xF0: valid sync/version but forbidden bitrate index 15
+    assert M.mp3_metadata(base + bytes((0xFF, 0xFB, 0xF0, 0xC0))
+                          )["n_frames"] == 3
+    # but a file that STARTS with those still errors
+    with pytest.raises(NotImplementedError):
+        M.mp3_metadata(bytes((0xFF, 0xE2)) + bytes(30))

@@ -93,3 +93,16 @@ def test_pages_survive_warc_byte_identical(spark):
                          F.lit(None).cast("string").alias("lang")))
          .select("url", "status", "envelope", "main_text").collect()}
     assert a == b
+
+
+def test_bitrot_gzip_degrades_to_error_row(spark):
+    """zlib.error from a flipped byte in the deflate stream must surface
+    as ValueError (→ error row), not escape the batch kernel."""
+    blob = bytearray(W.write_warc(RECS))
+    blob[len(blob) // 2] ^= 0xFF  # corrupt mid-stream
+    with pytest.raises(ValueError, match="gzip"):
+        list(W.iter_warc_records(bytes(blob)))
+    df = spark.createDataFrame([(0, bytes(blob))],
+                               "blob_id long, warc binary")
+    rows = W.pages_from_warc_blobs(df).collect()
+    assert any(r.http_status == -1 for r in rows)  # job did not fail
