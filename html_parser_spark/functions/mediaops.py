@@ -1225,7 +1225,8 @@ def _encode_ac_refine(writer: "_BitWriter", actab: dict, blk, ss: int,
 
 
 def encode_jpeg_progressive(pixels: list, quality: int = 90,
-                            subsample: tuple = (1, 1)) -> bytes:
+                            subsample: tuple = (1, 1),
+                            restart_interval: int = 0) -> bytes:
     """Progressive (SOF2) inverse of :func:`_decode_jpeg`: same color
     convert / DCT / quantization as :func:`encode_jpeg` (identical
     coefficients, so both encodings decode bit-identically), emitted as
@@ -1268,6 +1269,8 @@ def encode_jpeg_progressive(pixels: list, quality: int = 90,
     if not gray:
         out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
         out += dht(1, 1, _AC_PROG_BITS, _AC_PROG_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     comps = [("y", ycoefs, width, height, 1, dc_l)]
     if not gray:
@@ -1282,6 +1285,18 @@ def encode_jpeg_progressive(pixels: list, quality: int = 90,
         body += bytes((ss, se, (ah << 4) | al))
         return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
+    rst_state = {"n": 0}
+
+    def _restart(writer: "_BitWriter") -> "_BitWriter":
+        """Byte-align, append the pending entropy bytes + RSTn, fresh
+        writer (same shape as the baseline encoder's restart)."""
+        nonlocal out
+        writer.flush()
+        out += bytes(writer.out)
+        out += bytes((0xFF, 0xD0 + rst_state["n"] % 8))
+        rst_state["n"] += 1
+        return _BitWriter()
+
     def dc_scan(ah, al):
         """Interleaved DC scan over all components, MCU order."""
         nonlocal out
@@ -1289,8 +1304,15 @@ def encode_jpeg_progressive(pixels: list, quality: int = 90,
                           [(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, ah, al)
         writer = _BitWriter()
         pred = [0, 0, 0]
+        rst_state["n"] = 0
+        n_mcu = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                if restart_interval and n_mcu and \
+                        n_mcu % restart_interval == 0:
+                    writer = _restart(writer)
+                    pred = [0, 0, 0]
+                n_mcu += 1
                 for ci, (_, coefarr, _, _, _, dct) in enumerate(comps):
                     bv, bh_ = (vs, hs) if ci == 0 else (1, 1)
                     for by in range(bv):
@@ -1321,9 +1343,18 @@ def encode_jpeg_progressive(pixels: list, quality: int = 90,
                           ss, se, ah, al)
         writer = _BitWriter()
         state = _ProgScanState()
+        rst_state["n"] = 0
+        n_blk = 0
         nbw, nbh = -(-comp_w // 8), -(-comp_h // 8)
         for by in range(nbh):
             for bx in range(nbw):
+                if restart_interval and n_blk and \
+                        n_blk % restart_interval == 0:
+                    # EOB runs cannot span a restart interval (G.1.2.2)
+                    _flush_eobrun(writer, ac_prog, state)
+                    writer = _restart(writer)
+                    state = _ProgScanState()
+                n_blk += 1
                 blk = coefarr[by, bx]
                 # All-zero band → one EOB-run increment either way (first
                 # scan: no magnitudes; refine: no history, no new bits).

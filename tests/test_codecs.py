@@ -562,3 +562,23 @@ def test_grayscale_channel_means_are_the_gray_mean():
     true_mean = float(img["array"].mean())
     assert mr == mg == mb == true_mean
     assert abs(true_mean - (10 * 4 + 200 * 28) / 32) < 3
+
+
+def test_jpeg_progressive_restart_intervals():
+    """DRI/RSTn inside progressive scans: predictors and EOB runs reset
+    at each marker (G.1.2.2 — an EOB run cannot span a restart), and the
+    decode stays bit-identical to baseline. Noise maximizes entropy data
+    between markers."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    px = [[tuple(int(v) for v in c) for c in row]
+          for row in rng.randint(0, 256, (24, 40, 3)).tolist()]
+    for sub, ri in (((1, 1), 2), ((2, 2), 3)):
+        base = mediaops._decode_image_array(
+            mediaops.encode_jpeg(px, quality=85, subsample=sub))
+        prog = mediaops.encode_jpeg_progressive(
+            px, quality=85, subsample=sub, restart_interval=ri)
+        assert prog.count(b"\xff\xdd") == 1  # DRI emitted once
+        assert any(bytes((0xFF, 0xD0 + i)) in prog for i in range(8))
+        dp = mediaops._decode_image_array(prog)
+        assert np.array_equal(base["array"], dp["array"])
