@@ -261,3 +261,33 @@ def test_stream_media_decode_available_now(spark, tmp_path):
         else:
             assert (r.mean_r, r.mean_g, r.mean_b) == \
                 (did % 256, (did * 7) % 256, (did * 13) % 256), r
+
+
+def test_stream_warc_ingest_available_now(spark, tmp_path):
+    """Crawl-ingest dataflow: a readStream of landed .warc.gz blobs →
+    WARC/HTTP parse → extraction, all map-only, AvailableNow drain. This
+    is the S5-shaped union feed (crawler output continuously appended)
+    with html bytes byte-identical through the container — the batch
+    pin, streaming edition."""
+    from html_parser_spark.job import pipeline as P
+    from html_parser_spark.sources import warc as W
+
+    src = str(tmp_path / "warc_blobs")
+    pages = P.synthesize_pages(spark, 16)
+    expected = {r.url: bytes(r.html) for r in pages.collect()}
+    blobs = W.warc_blobs_from_pages(pages)
+    corrupt = spark.createDataFrame([(7, b"\x00not a warc")], blobs.schema)
+    blobs.unionByName(corrupt).write.parquet(src)
+
+    stream = spark.readStream.schema(blobs.schema).parquet(src)
+    sink = []
+    q = (W.pages_from_warc_blobs(stream).writeStream
+         .foreachBatch(lambda df, _id: sink.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt_warc"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    good = {r.url: bytes(r.html) for r in sink if r.http_status == 200}
+    assert good == expected
+    assert sum(1 for r in sink if r.http_status == -1) == 1  # error row
