@@ -1005,6 +1005,25 @@ def _mag(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
 
 
+def _check_restart_interval(restart_interval: int) -> None:
+    """DRI carries a u16: out-of-range values must fail as a clear
+    ValueError, not an opaque struct.error mid-emit."""
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError(
+            f"restart_interval must be 0..65535, got {restart_interval}")
+
+
+def _emit_restart(out: bytearray, writer: "_BitWriter",
+                  rst_index: int) -> "_BitWriter":
+    """Byte-align the entropy stream, append it, emit RST(rst_index % 8),
+    return a fresh writer — the one restart-emission sequence both the
+    baseline and progressive encoders share."""
+    writer.flush()
+    out += bytes(writer.out)
+    out += bytes((0xFF, 0xD0 + rst_index % 8))
+    return _BitWriter()
+
+
 def encode_jpeg(pixels: list, quality: int = 90,
                 subsample: tuple = (1, 1),
                 restart_interval: int = 0) -> bytes:
@@ -1015,6 +1034,7 @@ def encode_jpeg(pixels: list, quality: int = 90,
     ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
     import struct
 
+    _check_restart_interval(restart_interval)
     pre = _jpeg_precompute(pixels, quality, subsample)
     gray = pre["gray"]
     width, height = pre["width"], pre["height"]
@@ -1094,11 +1114,8 @@ def encode_jpeg(pixels: list, quality: int = 90,
         for mx in range(mcus_x):
             if restart_interval and mcu_count and \
                     mcu_count % restart_interval == 0:
-                writer.flush()
-                out += bytes(writer.out)
-                writer = _BitWriter()
-                out += bytes((0xFF, 0xD0 + rst))
-                rst = (rst + 1) % 8
+                writer = _emit_restart(out, writer, rst)
+                rst += 1
                 pred = [0, 0, 0]
             for by in range(vs):
                 for bx in range(hs):
@@ -1237,6 +1254,7 @@ def encode_jpeg_progressive(pixels: list, quality: int = 90,
     bits, newly-nonzero insertion, interleaved and natural block order."""
     import struct
 
+    _check_restart_interval(restart_interval)
     pre = _jpeg_precompute(pixels, quality, subsample)
     gray = pre["gray"]
     width, height = pre["width"], pre["height"]
@@ -1288,14 +1306,11 @@ def encode_jpeg_progressive(pixels: list, quality: int = 90,
     rst_state = {"n": 0}
 
     def _restart(writer: "_BitWriter") -> "_BitWriter":
-        """Byte-align, append the pending entropy bytes + RSTn, fresh
-        writer (same shape as the baseline encoder's restart)."""
-        nonlocal out
-        writer.flush()
-        out += bytes(writer.out)
-        out += bytes((0xFF, 0xD0 + rst_state["n"] % 8))
+        """Shared emission via _emit_restart; RST index restarts at RST0
+        per scan (rst_state is reset in each scan closure)."""
+        w = _emit_restart(out, writer, rst_state["n"])
         rst_state["n"] += 1
-        return _BitWriter()
+        return w
 
     def dc_scan(ah, al):
         """Interleaved DC scan over all components, MCU order."""
