@@ -22,7 +22,8 @@ from __future__ import annotations
 import codecs
 import re
 
-__all__ = ["sniff_decode", "sniff_encoding", "normalize_label"]
+__all__ = ["sniff_decode", "sniff_encoding", "normalize_label",
+           "charset_from_content_type"]
 
 # WHATWG maps the whole latin-1 family to windows-1252 (superset on the
 # 0x80-0x9F range real pages actually use for smart quotes etc.).
@@ -63,6 +64,21 @@ def normalize_label(label: str) -> str | None:
     return info.name  # canonical ('utf-16', 'cp1252', …) — see caller
 
 
+_CT_CHARSET_RE = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9._:-]+)",
+                            re.IGNORECASE)
+
+
+def charset_from_content_type(content_type: str | None) -> str | None:
+    """charset= parameter of an HTTP ``Content-Type`` header value →
+    canonical codec name (or None). This is the TRANSPORT layer a WARC
+    record carries (``sources/warc.py`` exposes it per record); WHATWG
+    ranks it above the in-document meta declaration, below a BOM."""
+    if not content_type:
+        return None
+    m = _CT_CHARSET_RE.search(content_type)
+    return normalize_label(m.group(1)) if m else None
+
+
 def _declared_encoding(raw: bytes) -> tuple[str | None, int]:
     """Cheap header-only declaration check: (codec, BOM length), or
     (None, 0) when nothing is declared and the probe chain decides."""
@@ -101,14 +117,24 @@ def sniff_encoding(raw: bytes) -> tuple[str, int]:
         return "cp1252", 0
 
 
-def sniff_decode(raw: bytes) -> tuple[str, str]:
+def sniff_decode(raw: bytes,
+                 transport_label: str | None = None) -> tuple[str, str]:
     """Decode page bytes to text: (text, codec used). Total — decode
     errors under a (possibly lying) declared charset degrade per-byte
     rather than raising. Hot-path shape: the dominant case (unlabeled
     valid UTF-8) is ONE strict decode — the probe's success IS the
-    decode, so the kernel never pays a second pass per page."""
+    decode, so the kernel never pays a second pass per page.
+
+    ``transport_label``: charset label from the transport layer (e.g.
+    :func:`charset_from_content_type` over a WARC record's HTTP
+    Content-Type). WHATWG order applies: BOM > transport > meta >
+    probe; an unrecognized transport label falls through."""
     raw = bytes(raw)
     enc, bom = _declared_encoding(raw)
+    if bom == 0 and transport_label is not None:
+        t = normalize_label(transport_label)
+        if t is not None:
+            enc = t
     if enc is None:
         try:
             return raw.decode("utf-8"), "utf-8"

@@ -111,3 +111,25 @@ def test_utf16_python_aliases_also_treated_as_lying():
         text, enc = sniff_decode(page)
         assert enc == "utf-8", (label, enc)
         assert "ascii body here" in text
+
+
+def test_transport_charset_ranks_between_bom_and_meta():
+    from html_parser_spark.htmlkit.charset import charset_from_content_type
+    assert charset_from_content_type(
+        "text/html; charset=ISO-8859-1") == "cp1252"
+    assert charset_from_content_type('text/html; charset="utf-8"') == \
+        "utf-8"
+    assert charset_from_content_type("text/html") is None
+    assert charset_from_content_type(None) is None
+    # transport beats meta
+    page = b'<meta charset="utf-8">caf\xe9'
+    text, enc = sniff_decode(page, transport_label="ISO-8859-1")
+    assert enc == "cp1252" and "café" in text
+    # BOM beats transport
+    text, enc = sniff_decode(b"\xef\xbb\xbfok",
+                             transport_label="ISO-8859-1")
+    assert enc == "utf-8" and text == "ok"
+    # unknown transport label falls through to meta/probe
+    page2 = b'<meta charset="windows-1252">caf\xe9'
+    text, enc = sniff_decode(page2, transport_label="bogus-charset")
+    assert enc == "cp1252" and "café" in text
