@@ -721,6 +721,36 @@ def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("html").alias("body_md5"))
 
 
+def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction driver-gated: build closed-form HTML pages
+    JVM-side (1 + doc_id % 5 anchors each, alternating rel=nofollow,
+    anchor text and href both functions of (doc_id, k)), run the REAL
+    tokenizer-based link extractor (extract/links.py), and let the
+    DuckDB twin regenerate every link row from doc_id arithmetic — an
+    attribute-parse bug, rel tokenization slip, or dropped anchor is a
+    value-hash mismatch. Map-only; page bytes never enter an Exchange."""
+    from html_parser_spark.extract.links import extract_links
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = F.sequence(F.lit(0), (did % 5).cast("int"))
+    anchors = F.transform(
+        k, lambda i: F.concat(
+            F.lit('<a href="https://t'), i.cast("string"),
+            F.lit(".example/p/"), did.cast("string"), F.lit('"'),
+            F.when(i % 2 == 0, F.lit(' rel="nofollow"')).otherwise(
+                F.lit("")),
+            F.lit(">anchor "), i.cast("string"), F.lit(" of "),
+            did.cast("string"), F.lit("</a>")))
+    html = F.concat(F.lit("<html><body>"),
+                    F.array_join(anchors, ""),
+                    F.lit("</body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("https://src.example/doc/"),
+                 did.cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"))
+    return extract_links(pages)
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
@@ -786,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_thumbs": _q_media_thumbs,
         "media_meta": _q_media_meta,
         "warc_roundtrip": _q_warc_roundtrip,
+        "extract_links": _q_extract_links,
     }
 
 
@@ -1857,6 +1888,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
             FROM documents
             WHERE doc_id % 4 <> 3
+        """,
+        "extract_links": """
+            SELECT 'https://src.example/doc/' || CAST(doc_id AS VARCHAR)
+                       AS src_url,
+                   'https://t' || CAST(k AS VARCHAR) || '.example/p/'
+                       || CAST(doc_id AS VARCHAR) AS href,
+                   'anchor ' || CAST(k AS VARCHAR) || ' of '
+                       || CAST(doc_id AS VARCHAR) AS anchor,
+                   CASE WHEN k % 2 = 0 THEN 'nofollow' ELSE '' END
+                       AS rel,
+                   k % 2 = 0 AS nofollow
+            FROM documents, UNNEST(range(0, CAST(doc_id % 5 AS INT) + 1))
+                 AS t(k)
         """,
         "warc_roundtrip": """
             SELECT 'https://warc.test/doc/' || CAST(doc_id AS VARCHAR)

@@ -412,6 +412,18 @@ def test_media_meta_is_map_only_and_pruned(spark):
     assert cols == ["doc_id"], cols
 
 
+def test_extract_links_map_only_and_graph_single_exchange(spark):
+    """Outlink extraction is map-only (page bytes never shuffle); the
+    host graph adds exactly one combinable groupBy Exchange over
+    (src_host, dst_host) pairs."""
+    from html_parser_spark.extract.links import host_link_graph
+    df = E.queries()["extract_links"](spark, SF)
+    plan = A.formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    g = host_link_graph(df)
+    assert A.n_exchanges(g) == 1, A.formatted_plan(g)
+
+
 def test_warc_roundtrip_is_map_only_and_pruned(spark):
     """WARC write→parse composition: blob bytes must never cross an
     Exchange (per-member gzip makes the container splittable, so a 100 TB
