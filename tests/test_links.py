@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from html_parser_spark.extract.links import (
-    extract_links, host_link_graph, links_of)
+    extract_links, host_link_graph, host_rank, links_of)
 
 
 def test_links_of_basic_and_nested():
@@ -77,3 +77,44 @@ def test_host_link_graph_aggregation(spark):
                for r in host_link_graph(links,
                                         drop_nofollow=False).collect()}
     assert with_nf[("s1.example", "d2.example")] == 1
+
+
+def test_host_rank_matches_reference_power_iteration(spark):
+    """host_rank vs a pure-Python power iteration of the same spec
+    (link-count-weighted transitions, uniform dangling redistribution,
+    damping 0.85): per-host agreement to 1e-9, ranks a distribution,
+    and the authority ordering is the expected one."""
+    edges = [("a", "b", 2), ("a", "c", 1), ("b", "c", 1),
+             ("c", "a", 1), ("d", "c", 3),
+             ("c", "e", 1)]  # e has no outgoing edges → dangling mass
+    g = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links long")
+    got = {r.host: r.rank for r in
+           host_rank(g, iterations=12, damping=0.85).collect()}
+
+    hosts = sorted({h for e in edges for h in e[:2]})
+    n = len(hosts)
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    rank = {h: 1.0 / n for h in hosts}
+    for _ in range(12):
+        dangling = sum(r for h, r in rank.items() if h not in outw)
+        inflow = {h: 0.0 for h in hosts}
+        for s, d, w in edges:
+            inflow[d] += rank[s] * w / outw[s]
+        base = 0.15 / n + 0.85 * dangling / n
+        rank = {h: base + 0.85 * inflow[h] for h in hosts}
+
+    assert set(got) == set(hosts)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for h in hosts:
+        assert abs(got[h] - rank[h]) < 1e-9, (h, got[h], rank[h])
+    # c receives from everyone → top authority; dangling e beats nothing
+    assert got["c"] == max(got.values())
+
+
+def test_host_rank_empty_graph(spark):
+    g = spark.createDataFrame(
+        [], "src_host string, dst_host string, n_links long")
+    assert host_rank(g).collect() == []
