@@ -751,6 +751,16 @@ def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(pages)
 
 
+def _q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph aggregation driver-gated: the closed-form link rows of
+    ``extract_links`` grouped to (src_host, dst_host, n_links) with the
+    nofollow drop. The twin recomputes each edge weight by counting the
+    docs whose link fan-out reaches that dst host (k odd only — even k
+    anchors carry rel=nofollow and must be dropped)."""
+    from html_parser_spark.extract.links import host_link_graph
+    return host_link_graph(_q_extract_links(spark, sf_dir))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
@@ -817,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "warc_roundtrip": _q_warc_roundtrip,
         "extract_links": _q_extract_links,
+        "host_link_graph": _q_host_link_graph,
     }
 
 
@@ -1901,6 +1912,15 @@ def oracle_sql() -> dict[str, str]:
                    k % 2 = 0 AS nofollow
             FROM documents, UNNEST(range(0, CAST(doc_id % 5 AS INT) + 1))
                  AS t(k)
+        """,
+        "host_link_graph": """
+            SELECT 'src.example' AS src_host,
+                   't' || CAST(k AS VARCHAR) || '.example' AS dst_host,
+                   COUNT(*) AS n_links
+            FROM documents,
+                 UNNEST(range(0, CAST(doc_id % 5 AS INT) + 1)) AS t(k)
+            WHERE k % 2 = 1  -- even k anchors are rel=nofollow, dropped
+            GROUP BY k
         """,
         "warc_roundtrip": """
             SELECT 'https://warc.test/doc/' || CAST(doc_id AS VARCHAR)
