@@ -7,9 +7,9 @@ windows-1252 (or mislabeled latin-1, which WHATWG maps to 1252 for
 exactly that reason) and CJK pages declare their charset in a meta tag.
 The previous ``decode("utf-8", errors="replace")`` turned every such
 byte into U+FFFD, which breaks the byte-identical extracted-text
-contract on anything non-UTF-8. windows-1252 never fails (every byte is
-mapped), so the fallback chain is total: ``sniff_decode`` always returns
-text, never raises.
+contract on anything non-UTF-8. windows-1252 is made total via the
+WHATWG C1 mapping for Python's five cp1252 holes, so the fallback chain
+never raises: ``sniff_decode`` always returns text.
 
 Reference: the WHATWG "Encoding" standard's label table and the HTML
 standard's encoding sniffing algorithm (public specs); only the subset a
@@ -66,6 +66,18 @@ def normalize_label(label: str) -> str | None:
 
 _CT_CHARSET_RE = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9._:-]+)",
                             re.IGNORECASE)
+
+
+def _cp1252_whatwg_errors(err: UnicodeDecodeError) -> tuple:
+    """Python's cp1252 leaves five bytes undefined (0x81 0x8D 0x8F 0x90
+    0x9D); the WHATWG windows-1252 table maps them to the C1 controls
+    (latin-1 identity). This handler closes the gap so the cp1252
+    fallback is total — the fuzz suite pins it."""
+    frag = err.object[err.start:err.end]
+    return frag.decode("latin-1"), err.end
+
+
+codecs.register_error("whatwg1252", _cp1252_whatwg_errors)
 
 
 def charset_from_content_type(content_type: str | None) -> str | None:
@@ -139,11 +151,13 @@ def sniff_decode(raw: bytes,
         try:
             return raw.decode("utf-8"), "utf-8"
         except UnicodeDecodeError:
-            return raw.decode("cp1252"), "cp1252"
+            return raw.decode("cp1252", errors="whatwg1252"), "cp1252"
     body = raw[bom:]
     try:
         return body.decode(enc), enc
     except (UnicodeDecodeError, ValueError):
-        # declared charset lied about the bytes — salvage per WHATWG
-        # error mode "replacement" rather than failing the record
-        return body.decode(enc, errors="replace"), enc
+        # declared charset lied about the bytes — salvage rather than
+        # fail the record: cp1252 holes take the WHATWG C1 mapping,
+        # anything else the standard replacement character
+        errors = "whatwg1252" if enc == "cp1252" else "replace"
+        return body.decode(enc, errors=errors), enc

@@ -133,3 +133,15 @@ def test_transport_charset_ranks_between_bom_and_meta():
     page2 = b'<meta charset="windows-1252">caf\xe9'
     text, enc = sniff_decode(page2, transport_label="bogus-charset")
     assert enc == "cp1252" and "café" in text
+
+
+def test_cp1252_holes_take_whatwg_c1_mapping():
+    """Python's cp1252 leaves 0x81 0x8D 0x8F 0x90 0x9D undefined; WHATWG
+    windows-1252 maps them to C1 controls. The fallback and the declared
+    path must both decode them (found by fuzz — raw b'\\x9d' crashed)."""
+    for b in (0x81, 0x8D, 0x8F, 0x90, 0x9D):
+        text, enc = sniff_decode(bytes([b]))
+        assert enc == "cp1252" and text == chr(b)
+        text2, enc2 = sniff_decode(
+            b'<meta charset="windows-1252">x' + bytes([b]))
+        assert enc2 == "cp1252" and text2.endswith(chr(b))
