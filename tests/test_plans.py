@@ -424,6 +424,21 @@ def test_extract_links_map_only_and_graph_single_exchange(spark):
     assert A.n_exchanges(g) == 1, A.formatted_plan(g)
 
 
+def test_host_rank_returns_checkpointed_plan(spark):
+    """The iterative host_rank must return a lineage-truncated plan
+    (localCheckpoint-backed scan), not a plan that grows one join+agg
+    layer per iteration — the dedup_clusters pattern."""
+    from html_parser_spark.extract.links import host_rank
+    g = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 2)],
+        "src_host string, dst_host string, n_links long")
+    ranks = host_rank(g, iterations=5)
+    plan = A.formatted_plan(ranks)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan, \
+        plan
+
+
 def test_warc_roundtrip_is_map_only_and_pruned(spark):
     """WARC write→parse composition: blob bytes must never cross an
     Exchange (per-member gzip makes the container splittable, so a 100 TB
